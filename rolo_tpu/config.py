@@ -1,0 +1,342 @@
+"""Layered configuration system for the TPU SLAM engine.
+
+Key-for-key re-design of the reference's ParamLoader
+(/root/reference/include/rolo/utility.h:145-432): every tunable the reference
+reads from the ROS parameter server exists here as a typed dataclass field
+with the same default. Instead of a parameter server, configs load from YAML
+(per-dataset files under configs/, same layering as reference config/*.yaml)
+with dotted-key overrides.
+
+Static *capacity* fields (max points, max keyframes, ...) are TPU additions:
+XLA needs fixed shapes, so every dynamic container in the reference becomes a
+fixed-capacity padded array here. Capacities live in `StaticConfig` so jitted
+functions can close over them as Python ints.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class SensorConfig:
+    """Lidar geometry (utility.h:283-316)."""
+
+    sensor: str = "velodyne"  # velodyne | ouster
+    n_scan: int = 32
+    horizon_scan: int = 1024
+    downsample_rate: int = 1
+    lidar_min_range: float = 2.0
+    lidar_max_range: float = 1000.0
+    lidar_noise_bound: float = 0.05
+    deskew_enabled: bool = False
+    scan_period: float = 0.1  # 10 Hz design point (imageProjection.cpp:79)
+
+
+@dataclass(frozen=True)
+class FeatureConfig:
+    """LOAM feature thresholds (utility.h:318-325, params.yaml)."""
+
+    edge_threshold: float = 0.8
+    surf_threshold: float = 0.1
+    edge_feature_min_valid_num: int = 20
+    surf_feature_min_valid_num: int = 100
+    odometry_surf_leaf_size: float = 0.4
+    max_corners_per_sector: int = 20  # featureExtraction.cpp:188
+    sectors_per_ring: int = 6  # featureExtraction.cpp:170
+
+
+@dataclass(frozen=True)
+class RegistrationConfig:
+    """rot-GICP solver parameters (lsq_registration_impl.hpp:11-19,
+    rot_vgicp_impl.hpp:28-39, lidarOdometry.cpp:462)."""
+
+    polar_resolution: Tuple[float, float, float] = (0.175, 0.175, 2.0)
+    voxel_resolution: float = 1.0  # uniform-voxel mode
+    voxel_type: str = "polar"  # polar | uniform
+    neighbor_search: str = "direct1"  # direct1 | direct7 | direct27
+    k_correspondences: int = 20
+    regularization: str = "plane"  # plane | min_eig | normalized_min_eig | frobenius | none
+    max_outer_iterations: int = 64
+    lm_max_inner_iterations: int = 10
+    lm_init_lambda_factor: float = 1e-9
+    rotation_epsilon: float = 2e-3
+    transformation_epsilon: float = 5e-4
+    ct_lambda: float = 0.3  # params.yaml continuousTrajectoryWeight
+
+
+@dataclass(frozen=True)
+class MappingConfig:
+    """Back-end scan-to-submap + keyframe params (utility.h:323-359)."""
+
+    mapping_corner_leaf_size: float = 0.2
+    mapping_surf_leaf_size: float = 0.4
+    mapping_process_interval: float = 0.15
+    z_tolerance: float = 1000.0
+    rotation_tolerance: float = 1000.0
+    surrounding_keyframe_adding_dist_threshold: float = 0.5
+    surrounding_keyframe_adding_angle_threshold: float = 0.2
+    surrounding_keyframe_density: float = 2.0
+    surrounding_keyframe_search_radius: float = 50.0
+    surrounding_keyframe_recency_sec: float = 10.0  # backMapping.cpp:600-608
+    scan2map_max_iterations: int = 30  # backMapping.cpp:692
+    degeneracy_eigen_threshold: float = 100.0  # backMapping.cpp:1006-1035
+
+
+@dataclass(frozen=True)
+class LoopConfig:
+    """Loop closure (utility.h:340-359, Scancontext.h:80-99)."""
+
+    enable: bool = True
+    loop_close_type: str = "all"  # sc | rs | all
+    sc_input_type: str = "scan_raw"  # scan_raw | scan_feat
+    frequency_hz: float = 1.0
+    surrounding_keyframe_size: int = 50
+    history_search_radius: float = 30.0
+    history_search_time_diff: float = 30.0
+    history_search_num: int = 25
+    history_fitness_score: float = 0.3
+    # Scan-context descriptor geometry (Scancontext.h:80-99)
+    sc_num_ring: int = 20
+    sc_num_sector: int = 60
+    sc_max_radius: float = 80.0
+    sc_num_exclude_recent: int = 30
+    sc_num_candidates: int = 10
+    sc_search_ratio: float = 0.1
+    sc_dist_threshold: float = 0.4
+    sc_lidar_height: float = 2.0
+
+
+@dataclass(frozen=True)
+class PriorConfig:
+    """Ground-contact prior stack (utility.h:360-424,
+    prior_pose_params.yaml)."""
+
+    enable: bool = True
+    frequency_hz: float = 1.0
+    ground_patch_size: float = 2.0
+    near_prior_radius: float = 1.0
+    fitness_score: float = 0.01
+    time_validation: float = 1.0
+    range_validation: float = 10.0
+    rot_diff_tolerance_rad: float = 5.0 * math.pi / 180.0
+    trans_diff_tolerance: float = 1.0
+    factor_weight: float = 100.0
+    synced_interval: float = 0.0
+    # PoseSolver / vehicle model (utility.h:380-398)
+    vehicle_size_xy: float = 2.0
+    vehicle_com_z: float = 1.0
+    k_spring: float = 20.0
+    gravity: float = 1.0
+    max_iters: int = 60
+    lm_lambda: float = 1e-2
+    tol_cost: float = 1e-12
+    tol_step: float = 1e-10
+    ground_avg_radius: float = 0.3
+    ground_min_neighbors: int = 5
+    tolerance_z_min: float = -10.0
+    tolerance_z_max: float = 10.0
+    tolerance_roll: float = 1.0
+    tolerance_pitch: float = 1.0
+    tolerance_wheel_distance: float = 1.0
+    wheel_xy: Tuple[Tuple[float, float], ...] = ()
+    lidar_offset_trans: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+
+@dataclass(frozen=True)
+class FilterConfig:
+    """Pose ESKF options (eskf.hpp:55-69)."""
+
+    pos_noise_std: float = 0.05
+    rot_noise_std: float = 0.05
+    meas_pos_noise_std: float = 0.02
+    meas_rot_noise_std: float = 0.02
+    init_vel_std: float = 1.0
+    init_omega_std: float = 1.0
+    init_acc_std: float = 1.0
+    init_alpha_std: float = 1.0
+    max_iterations: int = 3
+    propagate_step_m: float = 0.2  # lidarOdometry.cpp:259
+    propagate_horizon_m: float = 8.0
+
+
+@dataclass(frozen=True)
+class StaticConfig:
+    """Fixed array capacities for XLA static shapes (TPU-specific; no
+    reference analog — the reference uses std::vector everywhere)."""
+
+    max_raw_points: int = 65536  # >= n_scan * horizon_scan for the main configs
+    max_extracted_points: int = 32768
+    max_corner_points: int = 4096
+    max_surf_points: int = 12288
+    max_feature_points: int = 16384  # corner + surf stacked
+    max_voxels: int = 16384
+    max_keyframes: int = 2048
+    max_submap_points: int = 65536
+    max_loop_factors: int = 256
+    max_prior_factors: int = 512
+    knn_query_chunk: int = 512
+
+
+@dataclass(frozen=True)
+class RoloConfig:
+    """Top-level config bundle; mirrors the rolo/ + prior_factor/ +
+    prior_pose_node/ namespaces of the reference parameter server."""
+
+    sensor: SensorConfig = field(default_factory=SensorConfig)
+    features: FeatureConfig = field(default_factory=FeatureConfig)
+    registration: RegistrationConfig = field(default_factory=RegistrationConfig)
+    mapping: MappingConfig = field(default_factory=MappingConfig)
+    loop: LoopConfig = field(default_factory=LoopConfig)
+    prior: PriorConfig = field(default_factory=PriorConfig)
+    filter: FilterConfig = field(default_factory=FilterConfig)
+    static: StaticConfig = field(default_factory=StaticConfig)
+    save_pcd: bool = False
+    save_pcd_directory: str = "/results/"
+
+    def replace(self, **kwargs) -> "RoloConfig":
+        return dataclasses.replace(self, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# YAML loading with the reference's key names
+# ---------------------------------------------------------------------------
+
+# Map from the reference's flat param names (params.yaml / utility.h) to
+# (section, field) in RoloConfig.
+_REFERENCE_KEYMAP = {
+    "sensor": ("sensor", "sensor"),
+    "N_SCAN": ("sensor", "n_scan"),
+    "Horizon_SCAN": ("sensor", "horizon_scan"),
+    "downsampleRate": ("sensor", "downsample_rate"),
+    "lidarMinRange": ("sensor", "lidar_min_range"),
+    "lidarMaxRange": ("sensor", "lidar_max_range"),
+    "lidarNoiseBound": ("sensor", "lidar_noise_bound"),
+    "deskewEnabled": ("sensor", "deskew_enabled"),
+    "edgeThreshold": ("features", "edge_threshold"),
+    "surfThreshold": ("features", "surf_threshold"),
+    "edgeFeatureMinValidNum": ("features", "edge_feature_min_valid_num"),
+    "surfFeatureMinValidNum": ("features", "surf_feature_min_valid_num"),
+    "odometrySurfLeafSize": ("features", "odometry_surf_leaf_size"),
+    "mappingCornerLeafSize": ("mapping", "mapping_corner_leaf_size"),
+    "mappingSurfLeafSize": ("mapping", "mapping_surf_leaf_size"),
+    "z_tollerance": ("mapping", "z_tolerance"),
+    "rotation_tollerance": ("mapping", "rotation_tolerance"),
+    "mappingProcessInterval": ("mapping", "mapping_process_interval"),
+    "continuousTrajectoryWeight": ("registration", "ct_lambda"),
+    "surroundingkeyframeAddingDistThreshold": ("mapping", "surrounding_keyframe_adding_dist_threshold"),
+    "surroundingkeyframeAddingAngleThreshold": ("mapping", "surrounding_keyframe_adding_angle_threshold"),
+    "surroundingKeyframeDensity": ("mapping", "surrounding_keyframe_density"),
+    "surroundingKeyframeSearchRadius": ("mapping", "surrounding_keyframe_search_radius"),
+    "loopClosureEnableFlag": ("loop", "enable"),
+    "loopCloseType": ("loop", "loop_close_type"),
+    "scInputType": ("loop", "sc_input_type"),
+    "loopClosureFrequency": ("loop", "frequency_hz"),
+    "surroundingKeyframeSize": ("loop", "surrounding_keyframe_size"),
+    "historyKeyframeSearchRadius": ("loop", "history_search_radius"),
+    "historyKeyframeSearchTimeDiff": ("loop", "history_search_time_diff"),
+    "historyKeyframeSearchNum": ("loop", "history_search_num"),
+    "historyKeyframeFitnessScore": ("loop", "history_fitness_score"),
+    "savePCD": (None, "save_pcd"),
+    "savePCDDirectory": (None, "save_pcd_directory"),
+}
+
+_PRIOR_FACTOR_KEYMAP = {
+    "priorFactorEnableFlag": "enable",
+    "priorFactorFrequency": "frequency_hz",
+    "groundPatchSize": "ground_patch_size",
+    "nearPriorRadius": "near_prior_radius",
+    "priorFitnessScore": "fitness_score",
+    "priorTimeValidation": "time_validation",
+    "priorRangeValidation": "range_validation",
+    "priorTransDiffTolerance": "trans_diff_tolerance",
+    "priorFactorWeight": "factor_weight",
+    "priorSyncedInterval": "synced_interval",
+}
+
+_PRIOR_POSE_KEYMAP = {
+    "vehicle_size_xy": "vehicle_size_xy",
+    "vehicle_com_z": "vehicle_com_z",
+    "k_spring": "k_spring",
+    "g": "gravity",
+    "max_iters": "max_iters",
+    "lm_lambda": "lm_lambda",
+    "tol_cost": "tol_cost",
+    "tol_step": "tol_step",
+    "ground_avg_radius": "ground_avg_radius",
+    "ground_min_neighbors": "ground_min_neighbors",
+    "tolerance_z_min": "tolerance_z_min",
+    "tolerance_z_max": "tolerance_z_max",
+    "tolerance_roll": "tolerance_roll",
+    "tolerance_pitch": "tolerance_pitch",
+    "tolerance_wheel_distance": "tolerance_wheel_distance",
+}
+
+
+def _apply_namespace(cfg: RoloConfig, ns: dict) -> RoloConfig:
+    sections = {f.name: dict(vars(getattr(cfg, f.name))) if dataclasses.is_dataclass(getattr(cfg, f.name)) else None
+                for f in dataclasses.fields(cfg)}
+    top_level = {}
+
+    def set_kv(section: Optional[str], fname: str, value):
+        if section is None:
+            top_level[fname] = value
+        else:
+            sections[section][fname] = value
+
+    rolo_ns = ns.get("rolo", {}) or {}
+    for key, value in rolo_ns.items():
+        if key in _REFERENCE_KEYMAP:
+            section, fname = _REFERENCE_KEYMAP[key]
+            set_kv(section, fname, value)
+    pf_ns = ns.get("prior_factor", {}) or {}
+    for key, value in pf_ns.items():
+        if key == "priorRotDiffTolerance":
+            sections["prior"]["rot_diff_tolerance_rad"] = float(value) * math.pi / 180.0
+        elif key in _PRIOR_FACTOR_KEYMAP:
+            sections["prior"][_PRIOR_FACTOR_KEYMAP[key]] = value
+    pp_ns = ns.get("prior_pose_node", {}) or {}
+    for key, value in pp_ns.items():
+        if key == "wheel_xy":
+            flat = [float(v) for v in value]
+            sections["prior"]["wheel_xy"] = tuple(
+                (flat[i], flat[i + 1]) for i in range(0, len(flat) - 1, 2)
+            )
+        elif key == "lidarOffsetTrans":
+            sections["prior"]["lidar_offset_trans"] = tuple(float(v) for v in value)
+        elif key in _PRIOR_POSE_KEYMAP:
+            sections["prior"][_PRIOR_POSE_KEYMAP[key]] = value
+
+    new_sections = {}
+    for f in dataclasses.fields(cfg):
+        current = getattr(cfg, f.name)
+        if dataclasses.is_dataclass(current):
+            new_sections[f.name] = type(current)(**sections[f.name])
+        else:
+            new_sections[f.name] = top_level.get(f.name, current)
+    return RoloConfig(**new_sections)
+
+
+def load_config(yaml_path: Optional[str] = None, overrides: Optional[dict] = None) -> RoloConfig:
+    """Load a RoloConfig: defaults <- yaml file (reference key names) <-
+    dotted overrides like {"registration.ct_lambda": 0.5}."""
+    cfg = RoloConfig()
+    if yaml_path is not None:
+        import yaml
+
+        with open(yaml_path) as f:
+            ns = yaml.safe_load(f) or {}
+        cfg = _apply_namespace(cfg, ns)
+    if overrides:
+        for dotted, value in overrides.items():
+            parts = dotted.split(".")
+            if len(parts) == 1:
+                cfg = dataclasses.replace(cfg, **{parts[0]: value})
+            else:
+                section = getattr(cfg, parts[0])
+                section = dataclasses.replace(section, **{parts[1]: value})
+                cfg = dataclasses.replace(cfg, **{parts[0]: section})
+    return cfg

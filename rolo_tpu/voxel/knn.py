@@ -1,0 +1,111 @@
+"""Brute-force MXU k-NN + per-point covariance estimation.
+
+TPU-native replacement for the reference's kd-tree covariance pass
+(RotVGICP::calculate_covariances, rot_vgicp_impl.hpp:419-496). kd-trees are
+pointer-chasing and hostile to TPUs; for feature-cloud sizes (<=16k points) a
+chunked dense distance matrix rides the MXU (d^2 = |q|^2 + |x|^2 - 2 q.x is a
+matmul) and a top-k beats tree traversal by orders of magnitude while being
+exact.
+
+Covariance regularization mirrors rot_vgicp_impl.hpp:456-492: neighborhood
+covariance (divided by k, reference line :456), then eigenvalue surgery
+(PLANE -> (1, 1, 1e-3) etc.).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+PLANE = "plane"
+MIN_EIG = "min_eig"
+NORMALIZED_MIN_EIG = "normalized_min_eig"
+FROBENIUS = "frobenius"
+NONE = "none"
+
+
+def knn_indices(
+    query: jnp.ndarray,
+    query_mask: jnp.ndarray,
+    points: jnp.ndarray,
+    points_mask: jnp.ndarray,
+    k: int,
+    chunk: int = 512,
+) -> jnp.ndarray:
+    """Exact k nearest neighbors of each query among masked points.
+
+    query [Q, 3], points [N, 3] -> idx [Q, k] int32. Invalid points are at
+    infinite distance; invalid queries return arbitrary indices (mask
+    downstream). Q must be a multiple of `chunk` or is padded internally.
+    """
+    q = query.shape[0]
+    n = points.shape[0]
+    pad = (-q) % chunk
+    if pad:
+        query = jnp.pad(query, ((0, pad), (0, 0)))
+    x2 = jnp.sum(points * points, axis=1)  # [N]
+    inf_row = jnp.where(points_mask, 0.0, jnp.inf)
+
+    def one_chunk(qc):
+        # [C, N] squared distances via MXU
+        d2 = (
+            jnp.sum(qc * qc, axis=1, keepdims=True)
+            - 2.0 * jnp.dot(qc, points.T, preferred_element_type=jnp.float32)
+            + x2[None, :]
+        )
+        d2 = d2 + inf_row[None, :]
+        _, idx = jax.lax.top_k(-d2, k)
+        return idx.astype(jnp.int32)
+
+    chunks = query.reshape(-1, chunk, 3)
+    idx = jax.lax.map(one_chunk, chunks).reshape(-1, k)
+    return idx[:q]
+
+
+def regularize_covariance(cov: jnp.ndarray, method: str = PLANE) -> jnp.ndarray:
+    """Eigenvalue surgery on [..., 3, 3] covariances (rot_vgicp_impl.hpp:458-492)."""
+    if method == NONE:
+        return cov
+    if method == FROBENIUS:
+        lam = 1e-3
+        c = cov + lam * jnp.eye(3, dtype=cov.dtype)
+        c_inv = jnp.linalg.inv(c)
+        norm = jnp.linalg.norm(c_inv.reshape(*c_inv.shape[:-2], 9), axis=-1)
+        return jnp.linalg.inv(c_inv / norm[..., None, None])
+    # Symmetric PSD: SVD(U, s, V) == eigh up to ordering/signs; reference
+    # reconstructs U diag(values) V^T which equals Q diag Q^T here.
+    eigval, eigvec = jnp.linalg.eigh(cov)  # ascending
+    if method == PLANE:
+        values = jnp.broadcast_to(jnp.array([1e-3, 1.0, 1.0], cov.dtype), eigval.shape)
+    elif method == MIN_EIG:
+        values = jnp.maximum(eigval, 1e-3)
+    elif method == NORMALIZED_MIN_EIG:
+        values = jnp.maximum(eigval / jnp.maximum(eigval[..., -1:], 1e-12), 1e-3)
+    else:
+        raise ValueError(f"unknown regularization {method}")
+    return jnp.einsum("...ij,...j,...kj->...ik", eigvec, values, eigvec)
+
+
+@partial(jax.jit, static_argnames=("k", "method", "chunk"))
+def estimate_covariances(
+    xyz: jnp.ndarray,
+    mask: jnp.ndarray,
+    k: int = 20,
+    method: str = PLANE,
+    chunk: int = 512,
+) -> jnp.ndarray:
+    """Per-point regularized covariances from k-NN neighborhoods.
+
+    Matches calculate_covariances (rot_vgicp_impl.hpp:419-496): the point
+    itself is its own nearest neighbor, the neighborhood is mean-centered,
+    cov = X X^T / k, then regularized. Returns [N, 3, 3].
+    """
+    idx = knn_indices(xyz, mask, xyz, mask, k, chunk)
+    neigh = xyz[idx]  # [N, k, 3]
+    mean = jnp.mean(neigh, axis=1, keepdims=True)
+    centered = neigh - mean
+    cov = jnp.einsum("nki,nkj->nij", centered, centered) / float(k)
+    cov = regularize_covariance(cov, method)
+    return jnp.where(mask[:, None, None], cov, jnp.eye(3, dtype=cov.dtype))

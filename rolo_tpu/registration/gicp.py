@@ -1,0 +1,221 @@
+"""rot-GICP objective: correspondences, Mahalanobis weights, linearizations.
+
+TPU-native re-design of RotVGICP
+(/root/reference/include/rot_gicp/gicp/impl/rot_vgicp_impl.hpp). The
+reference's per-correspondence OpenMP loops (update_correspondences :172-222,
+linearize :225-290, so3_linearize :292-388, t3_linearize :498-607) become
+fully vectorized array programs: one voxel-map lookup gather + batched 3x3
+inverses + einsum reductions to the 3x3/6x6 Hessian. Everything is jit- and
+vmap-safe, so thousands of scan pairs batch across a device mesh.
+
+Conventions follow the reference exactly:
+  - residual e = voxel_mean_B - (R p_A + t)            (:256)
+  - weight w = sqrt(voxel point count)                  (:258)
+  - Mahalanobis M = (cov_B + R cov_A R^T)^{-1}          (:215-219)
+  - SO(3) Jacobian J = skew(R p_A + t)                  (:347)
+  - SE(3) Jacobian J = [skew(R p_A + t) | -I]           (:265-267)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+
+from ..geometry import so3
+from ..ops.linalg import inv3x3
+from ..voxel.voxelmap import VoxelMap, lookup, polar_coord, uniform_coord
+
+# Neighbor offset tables (vmp_voxel.hpp:13-47).
+OFFSETS = {
+    "direct1": [(0, 0, 0)],
+    "direct7": [(0, 0, 0), (1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1)],
+    "direct27": [(i - 1, j - 1, k - 1) for i in range(3) for j in range(3) for k in range(3)],
+}
+
+
+class GICPContext(NamedTuple):
+    """Per-scan-pair registration problem: padded source cloud + target voxel map."""
+
+    src_xyz: jnp.ndarray  # [N, 3]
+    src_mask: jnp.ndarray  # [N]
+    src_cov: jnp.ndarray  # [N, 3, 3]
+    vmap: VoxelMap  # target map
+    polar_res: Optional[jnp.ndarray]  # [3] or None for uniform voxels
+    resolution: float  # uniform voxel edge (used when polar_res is None)
+    offsets: jnp.ndarray  # [O, 3] int32 neighbor offsets
+
+
+class Correspondences(NamedTuple):
+    """Source-point -> target-voxel matches with precomputed Mahalanobis.
+
+    All arrays are [N, O] or [N, O, ...]: every (source point, neighbor
+    offset) pair is a correspondence slot, masked by `weight > 0`.
+    """
+
+    weight: jnp.ndarray  # [N, O] = sqrt(num_points) * found * src_mask
+    mean_b: jnp.ndarray  # [N, O, 3]
+    maha: jnp.ndarray  # [N, O, 3, 3]
+
+
+def make_context(
+    src_xyz: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    src_cov: jnp.ndarray,
+    vmap: VoxelMap,
+    polar_res: Optional[jnp.ndarray] = None,
+    resolution: float = 1.0,
+    neighbor_search: str = "direct1",
+) -> GICPContext:
+    offsets = jnp.asarray(OFFSETS[neighbor_search], dtype=jnp.int32)
+    return GICPContext(src_xyz, src_mask, src_cov, vmap, polar_res, resolution, offsets)
+
+
+def update_correspondences(
+    ctx: GICPContext, rot: jnp.ndarray, trans: jnp.ndarray
+) -> Correspondences:
+    """Bin transformed source points into the target voxel map and precompute
+    per-correspondence Mahalanobis matrices (rot_vgicp_impl.hpp:172-222)."""
+    p = jnp.einsum("ij,nj->ni", rot, ctx.src_xyz) + trans  # [N, 3]
+    if ctx.polar_res is not None:
+        coord = polar_coord(p, ctx.polar_res)
+    else:
+        coord = uniform_coord(p, ctx.resolution)
+    # [N, O, 3] neighbor coordinates
+    coords = coord[:, None, :] + ctx.offsets[None, :, :]
+    n, o = coords.shape[0], coords.shape[1]
+    found, num, mean_b, cov_b = lookup(ctx.vmap, coords.reshape(n * o, 3))
+    found = found.reshape(n, o) & ctx.src_mask[:, None]
+    num = num.reshape(n, o)
+    mean_b = mean_b.reshape(n, o, 3)
+    cov_b = cov_b.reshape(n, o, 3, 3)
+
+    # M = (cov_B + R cov_A R^T)^{-1}; 4th row/col of the reference matrices
+    # are zero so the 3x3 block inverse is exact.
+    rca_rt = jnp.einsum("ij,njk,lk->nil", rot, ctx.src_cov, rot)  # [N, 3, 3]
+    maha = inv3x3(cov_b + rca_rt[:, None, :, :])
+    weight = jnp.where(found, jnp.sqrt(jnp.maximum(num, 0.0)), 0.0)
+    return Correspondences(weight, mean_b, jnp.where(found[..., None, None], maha, 0.0))
+
+
+def _residuals(ctx: GICPContext, corr: Correspondences, rot, trans):
+    p = jnp.einsum("ij,nj->ni", rot, ctx.src_xyz) + trans  # [N, 3]
+    e = corr.mean_b - p[:, None, :]  # [N, O, 3]
+    return p, e
+
+
+def compute_error(ctx: GICPContext, corr: Correspondences, rot, trans) -> jnp.ndarray:
+    """sum_i w_i e_i^T M_i e_i (compute_error, rot_vgicp_impl.hpp:390-417)."""
+    _, e = _residuals(ctx, corr, rot, trans)
+    me = jnp.einsum("noij,noj->noi", corr.maha, e)
+    return jnp.sum(corr.weight * jnp.einsum("noi,noi->no", e, me))
+
+
+def so3_linearize(
+    ctx: GICPContext, corr: Correspondences, rot, trans
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(error, H [3,3], b [3]) for the rotation-only step
+    (so3_linearize, rot_vgicp_impl.hpp:292-388)."""
+    p, e = _residuals(ctx, corr, rot, trans)
+    me = jnp.einsum("noij,noj->noi", corr.maha, e)
+    err = jnp.sum(corr.weight * jnp.einsum("noi,noi->no", e, me))
+    j = so3.skew(p)  # [N, 3, 3]; shared across offsets
+    mj = jnp.einsum("noij,njk->noik", corr.maha, j)  # [N, O, 3, 3]
+    h = jnp.einsum("no,nji,nojk->ik", corr.weight, j, mj)
+    b = jnp.einsum("no,nji,noj->i", corr.weight, j, me)
+    return err, h, b
+
+
+def se3_linearize(
+    ctx: GICPContext, corr: Correspondences, rot, trans
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(error, H [6,6], b [6]) for the full SE(3) step
+    (linearize, rot_vgicp_impl.hpp:225-290). Tangent order: [omega, rho]."""
+    p, e = _residuals(ctx, corr, rot, trans)
+    me = jnp.einsum("noij,noj->noi", corr.maha, e)
+    err = jnp.sum(corr.weight * jnp.einsum("noi,noi->no", e, me))
+    j = _j_se3(p)  # [N, 3, 6]
+    mj = jnp.einsum("noij,njk->noik", corr.maha, j)
+    h = jnp.einsum("no,nji,nojk->ik", corr.weight, j, mj)
+    b = jnp.einsum("no,nji,noj->i", corr.weight, j, me)
+    return err, h, b
+
+
+def _j_se3(p: jnp.ndarray) -> jnp.ndarray:
+    """[N, 3, 6] Jacobian [skew(p) | -I] (rot_vgicp_impl.hpp:265-267)."""
+    n = p.shape[0]
+    eye = jnp.broadcast_to(-jnp.eye(3, dtype=p.dtype), (n, 3, 3))
+    return jnp.concatenate([so3.skew(p), eye], axis=-1)
+
+
+def ct_linearize(
+    ctx: GICPContext,
+    corr: Correspondences,
+    t: jnp.ndarray,
+    init_guess: jnp.ndarray,
+    last_t0: jnp.ndarray,
+    interval_tn: jnp.ndarray,
+    interval_tn_1: jnp.ndarray,
+    ct_lambda: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Continuous-time translation linearization
+    (t3_linearize, rot_vgicp_impl.hpp:498-607).
+
+    Residuals (source points are NOT rotated — the reference keeps input_ =
+    the translation-propagated cloud, lidarOdometry.cpp:459,467):
+      e  = mean_B - (p + t)
+      ct = (begin_A - transed_A)/dt_n - last_t0/dt_{n-1}
+         = -(g + t)/dt_n - last_t0/dt_{n-1}
+    weighted by w and lambda/N_corr. The reference's 4th homogeneous
+    component of last_transform is uninitialized memory (Vector4d::col(3) on
+    a 4x1 vector, :539-540); the intended 3-vector semantics are used here.
+    Correspondences/Mahalanobis are reused from the rotation stage — the
+    reference never re-binds them during the translation solve (:503-511).
+    """
+    p = ctx.src_xyz
+    e = corr.mean_b - (p + t)[:, None, :]
+    ct = -(init_guess + t) / interval_tn - last_t0 / interval_tn_1  # [3]
+    n_corr = jnp.maximum(jnp.sum(corr.weight > 0), 1.0)
+    lam = ct_lambda / n_corr
+
+    me = jnp.einsum("noij,noj->noi", corr.maha, e)
+    mct = jnp.einsum("noij,j->noi", corr.maha, ct)
+    err = jnp.sum(
+        corr.weight
+        * (jnp.einsum("noi,noi->no", e, me) + lam * jnp.einsum("noi,i->no", mct, ct))
+    )
+
+    j1 = _j_se3(p + t)  # [N, 3, 6]
+    j2 = j1 / interval_tn
+    mj1 = jnp.einsum("noij,njk->noik", corr.maha, j1)
+    h = jnp.einsum("no,nji,nojk->ik", corr.weight, j1, mj1) + lam * jnp.einsum(
+        "no,nji,nojk->ik", corr.weight, j2, jnp.einsum("noij,njk->noik", corr.maha, j2)
+    )
+    b = jnp.einsum("no,nji,noj->i", corr.weight, j1, me) + lam * jnp.einsum(
+        "no,nji,noj->i", corr.weight, j2, mct
+    )
+    return err, h, b
+
+
+def ct_error(
+    ctx: GICPContext,
+    corr: Correspondences,
+    t: jnp.ndarray,
+    init_guess: jnp.ndarray,
+    last_t0: jnp.ndarray,
+    interval_tn: jnp.ndarray,
+    interval_tn_1: jnp.ndarray,
+    ct_lambda: float,
+) -> jnp.ndarray:
+    """compute_t_error (rot_vgicp_impl.hpp:609-658)."""
+    p = ctx.src_xyz
+    e = corr.mean_b - (p + t)[:, None, :]
+    ct = -(init_guess + t) / interval_tn - last_t0 / interval_tn_1
+    n_corr = jnp.maximum(jnp.sum(corr.weight > 0), 1.0)
+    lam = ct_lambda / n_corr
+    me = jnp.einsum("noij,noj->noi", corr.maha, e)
+    mct = jnp.einsum("noij,j->noi", corr.maha, ct)
+    return jnp.sum(
+        corr.weight
+        * (jnp.einsum("noi,noi->no", e, me) + lam * jnp.einsum("noi,i->no", mct, ct))
+    )

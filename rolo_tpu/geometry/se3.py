@@ -86,15 +86,19 @@ def exp(xi: jnp.ndarray) -> SE3:
     omega = xi[..., :3]
     rho = xi[..., 3:]
     theta_sq = jnp.sum(omega * omega, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta_sq, 1e-30))
+    small = theta_sq < 1e-10
+    # Double-where: the dead branch must stay NaN/inf-free under autodiff
+    # (1/max(x, tiny) has a NaN cotangent at x=0 because max(x,tiny)^2
+    # underflows f32).
+    safe_sq = jnp.where(small, 1.0, theta_sq)
+    theta = jnp.sqrt(safe_sq)
     rot = so3.exp(omega)
     omega_hat = so3.skew(omega)
     omega_sq = omega_hat @ omega_hat
 
-    small = theta_sq < 1e-10
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), omega_hat.shape)
-    a = jnp.where(small, 0.5, (1.0 - jnp.cos(theta)) / jnp.maximum(theta_sq, 1e-30))
-    b = jnp.where(small, 1.0 / 6.0, (theta - jnp.sin(theta)) / jnp.maximum(theta_sq * theta, 1e-30))
+    a = jnp.where(small, 0.5, (1.0 - jnp.cos(theta)) / safe_sq)
+    b = jnp.where(small, 1.0 / 6.0, (theta - jnp.sin(theta)) / (safe_sq * theta))
     v = eye + a[..., None, None] * omega_hat + b[..., None, None] * omega_sq
     # Reference uses V = R for the small-angle branch (so3.hpp:91-93); the
     # series above is the exact expansion and agrees to O(theta^2).
@@ -103,21 +107,25 @@ def exp(xi: jnp.ndarray) -> SE3:
 
 
 def log(t: SE3) -> jnp.ndarray:
-    """Inverse of exp: SE3 -> [..., 6] (omega, rho)."""
+    """Inverse of exp: SE3 -> [..., 6] (omega, rho).
+
+    Double-where guarded so autodiff at the identity is NaN-free (the
+    pose-graph solver takes jacrev through this at zero residual).
+    """
     omega = so3.log(t.rot)
     theta_sq = jnp.sum(omega * omega, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta_sq, 1e-30))
+    small = theta_sq < 1e-10
+    safe_sq = jnp.where(small, 1.0, theta_sq)
+    theta = jnp.sqrt(safe_sq)
     omega_hat = so3.skew(omega)
     omega_sq = omega_hat @ omega_hat
-    small = theta_sq < 1e-10
     eye = jnp.broadcast_to(jnp.eye(3, dtype=omega.dtype), omega_hat.shape)
     half_theta = 0.5 * theta
-    # V^{-1} = I - 0.5*hat + (1/theta^2)(1 - theta*sin/(2(1-cos))) hat^2
+    # V^{-1} = I - 0.5*hat + (1/theta^2)(1 - theta*cos(t/2)/(2 sin(t/2))) hat^2
     cot_term = jnp.where(
         small,
         1.0 / 12.0,
-        (1.0 - half_theta * jnp.cos(half_theta) / jnp.maximum(jnp.sin(half_theta), 1e-30))
-        / jnp.maximum(theta_sq, 1e-30),
+        (1.0 - half_theta * jnp.cos(half_theta) / jnp.sin(half_theta)) / safe_sq,
     )
     v_inv = eye - 0.5 * omega_hat + cot_term[..., None, None] * omega_sq
     rho = jnp.einsum("...ij,...j->...i", v_inv, t.trans)

@@ -104,16 +104,20 @@ def exp(omega: jnp.ndarray) -> jnp.ndarray:
 def log(r: jnp.ndarray) -> jnp.ndarray:
     """Rotation matrix [..., 3, 3] -> axis-angle [..., 3].
 
-    Uses the quaternion route for numerical stability near identity.
+    Uses the quaternion route for stability near identity. Written with the
+    double-where pattern so jax.grad/jacrev are NaN-free at the identity
+    (the pose-graph solver differentiates through log at zero residual).
     """
     q = matrix_to_quat(r)
     w = jnp.clip(q[..., 0], -1.0, 1.0)
     vec = q[..., 1:]
-    vec_norm = jnp.linalg.norm(vec, axis=-1)
-    # theta = 2*atan2(|vec|, w); axis = vec/|vec|
+    n2 = jnp.sum(vec * vec, axis=-1)
+    small = n2 < 1e-14
+    safe_n2 = jnp.where(small, 1.0, n2)  # keeps sqrt grad finite on the dead branch
+    vec_norm = jnp.sqrt(safe_n2)
     theta = 2.0 * jnp.arctan2(vec_norm, w)
-    small = vec_norm < 1e-9
-    scale = jnp.where(small, 2.0 / jnp.maximum(w, 1e-9), theta / jnp.maximum(vec_norm, 1e-30))
+    # small-angle: theta/|vec| -> 2/w - series; constant 2/w suffices to O(n2)
+    scale = jnp.where(small, 2.0 / jnp.maximum(w, 1e-9), theta / vec_norm)
     return vec * scale[..., None]
 
 

@@ -1,0 +1,228 @@
+"""Batched pose-graph Gauss-Newton with preconditioned CG.
+
+The GTSAM/iSAM2 replacement (SURVEY.md section 7): instead of incremental
+Bayes-tree relinearization (deeply sequential, pointer-heavy — hostile to
+TPUs), every solve is a full Gauss-Newton relinearization over all poses:
+  - residual per between factor: e = Log(Z^{-1} T_i^{-1} T_j)   (GTSAM
+    BetweenFactor convention, tangent order (w, t)),
+  - exact per-factor 6x6 Jacobians via vmapped jax.jacrev at zero
+    right-perturbation,
+  - normal equations solved matrix-free with block-Jacobi preconditioned CG
+    (the Hessian is never materialized; matvecs are factor gather/scatters
+    that map to TPU-friendly segment ops and psum under sharding),
+  - Cauchy IRLS weights for robust (loop) factors, matching
+    noiseModel::Robust(Cauchy(k), ...) (backMapping.cpp:2464-2476).
+
+Reference solves are small (10^2..10^3 poses), so a full re-solve per
+keyframe is cheap and — unlike iSAM2 — embarrassingly batchable across
+sequences.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import se3, so3
+from ..ops.linalg import inv3x3
+from .factors import PoseGraph, FIRST_PRIOR_VARIANCES, ODOM_VARIANCES
+
+
+def _between_residual(xi_i, xi_j, rot_i, trans_i, rot_j, trans_j, rel_rot, rel_trans):
+    """e = Log(Z^{-1} (T_i Exp(xi_i))^{-1} (T_j Exp(xi_j))), [6] (w, t)."""
+    pi = se3.SE3(rot_i, trans_i).compose(se3.exp(xi_i))
+    pj = se3.SE3(rot_j, trans_j).compose(se3.exp(xi_j))
+    z = se3.SE3(rel_rot, rel_trans)
+    err_t = z.inverse().compose(pi.inverse().compose(pj))
+    return se3.log(err_t)
+
+
+_res_and_jac = jax.vmap(
+    lambda ri, ti, rj, tj, zr, zt: (
+        _between_residual(jnp.zeros(6), jnp.zeros(6), ri, ti, rj, tj, zr, zt),
+        jax.jacrev(_between_residual, argnums=(0, 1))(
+            jnp.zeros(6), jnp.zeros(6), ri, ti, rj, tj, zr, zt
+        ),
+    )
+)
+
+
+class FactorBlocks(NamedTuple):
+    """Linearized factors: indices, Jacobians, whitening weights, residuals."""
+
+    i: jnp.ndarray  # [F]
+    j: jnp.ndarray  # [F]
+    jac_i: jnp.ndarray  # [F, 6, 6]
+    jac_j: jnp.ndarray  # [F, 6, 6]
+    info_w: jnp.ndarray  # [F, 6] diagonal information (1/var * irls)
+    res: jnp.ndarray  # [F, 6]
+    valid: jnp.ndarray  # [F]
+
+
+def _linearize(graph: PoseGraph, rot, trans, count) -> FactorBlocks:
+    k = rot.shape[0]
+    dtype = trans.dtype
+
+    # --- odometry chain: factor f constrains (f-1) -> f, f in [1, count) ---
+    idx = jnp.arange(k)
+    odom_valid = (idx >= 1) & (idx < count)
+    prev = jnp.maximum(idx - 1, 0)
+    res_o, (ji_o, jj_o) = _res_and_jac(
+        rot[prev], trans[prev], rot, trans, graph.odom_rel_rot, graph.odom_rel_trans
+    )
+    info_o = jnp.broadcast_to(
+        1.0 / jnp.asarray(ODOM_VARIANCES, dtype), (k, 6)
+    )
+
+    # --- first-pose prior: unary on pose 0, expressed as a between factor
+    # from a virtual fixed identity anchor (jac_i zeroed) ---
+    res_p, (_, jj_p) = _res_and_jac(
+        jnp.eye(3, dtype=dtype)[None],
+        jnp.zeros((1, 3), dtype),
+        rot[:1],
+        trans[:1],
+        graph.first_rot[None],
+        graph.first_trans[None],
+    )
+    info_p = (1.0 / jnp.asarray(FIRST_PRIOR_VARIANCES, dtype))[None]
+
+    # --- loop + prior between factors with Cauchy IRLS ---
+    def between_blocks(f):
+        res_b, (ji_b, jj_b) = _res_and_jac(
+            rot[f.i], trans[f.i], rot[f.j], trans[f.j], f.rel_rot, f.rel_trans
+        )
+        inv_var = 1.0 / f.noise_var
+        # Cauchy: w = c^2 / (c^2 + r2), r2 = whitened squared norm
+        r2 = jnp.sum(res_b * res_b * inv_var, axis=-1)
+        c2 = f.robust_c**2
+        irls = jnp.where(f.robust_c > 0, c2 / jnp.maximum(c2 + r2, 1e-12), 1.0)
+        fvalid = f.valid & (f.i < count) & (f.j < count)
+        return res_b, ji_b, jj_b, inv_var * irls[:, None], fvalid
+
+    res_l, ji_l, jj_l, info_l, valid_l = between_blocks(graph.loops)
+    res_g, ji_g, jj_g, info_g, valid_g = between_blocks(graph.priors)
+
+    return FactorBlocks(
+        i=jnp.concatenate([prev, jnp.zeros(1, jnp.int32), graph.loops.i, graph.priors.i]),
+        j=jnp.concatenate([idx, jnp.zeros(1, jnp.int32), graph.loops.j, graph.priors.j]),
+        jac_i=jnp.concatenate([ji_o, jnp.zeros_like(jj_p), ji_l, ji_g]),
+        jac_j=jnp.concatenate([jj_o, jj_p, jj_l, jj_g]),
+        info_w=jnp.concatenate([info_o, info_p, info_l, info_g]),
+        res=jnp.concatenate([res_o, res_p, res_l, res_g]),
+        valid=jnp.concatenate([odom_valid, jnp.ones(1, bool), valid_l, valid_g]),
+    )
+
+
+def _hessian_diag_blocks(blocks: FactorBlocks, k: int) -> jnp.ndarray:
+    """[K, 6, 6] block diagonal of H for the preconditioner."""
+    w = blocks.valid[:, None, None].astype(blocks.res.dtype)
+    hii = jnp.einsum("fki,fk,fkj->fij", blocks.jac_i, blocks.info_w, blocks.jac_i) * w
+    hjj = jnp.einsum("fki,fk,fkj->fij", blocks.jac_j, blocks.info_w, blocks.jac_j) * w
+    out = jnp.zeros((k, 6, 6), blocks.res.dtype)
+    out = out.at[blocks.i].add(hii)
+    out = out.at[blocks.j].add(hjj)
+    return out
+
+
+def _matvec(blocks: FactorBlocks, v: jnp.ndarray, damping: jnp.ndarray) -> jnp.ndarray:
+    """(H + damping I) v without materializing H. v [K, 6]."""
+    w = blocks.valid[:, None].astype(v.dtype)
+    u = (
+        jnp.einsum("fab,fb->fa", blocks.jac_i, v[blocks.i])
+        + jnp.einsum("fab,fb->fa", blocks.jac_j, v[blocks.j])
+    ) * blocks.info_w * w
+    out = jnp.zeros_like(v)
+    out = out.at[blocks.i].add(jnp.einsum("fba,fb->fa", blocks.jac_i, u))
+    out = out.at[blocks.j].add(jnp.einsum("fba,fb->fa", blocks.jac_j, u))
+    return out + damping * v
+
+
+def _gradient(blocks: FactorBlocks, k: int) -> jnp.ndarray:
+    """g = J^T W r, [K, 6]."""
+    w = blocks.valid[:, None].astype(blocks.res.dtype)
+    u = blocks.info_w * blocks.res * w
+    out = jnp.zeros((k, 6), blocks.res.dtype)
+    out = out.at[blocks.i].add(jnp.einsum("fba,fb->fa", blocks.jac_i, u))
+    out = out.at[blocks.j].add(jnp.einsum("fba,fb->fa", blocks.jac_j, u))
+    return out
+
+
+class GraphSolution(NamedTuple):
+    rot: jnp.ndarray
+    trans: jnp.ndarray
+    iterations: jnp.ndarray
+    final_error: jnp.ndarray
+
+
+def _block_jacobi_apply(pinv: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
+    return jnp.einsum("kab,kb->ka", pinv, r)
+
+
+@partial(jax.jit, static_argnames=("gn_iterations", "cg_iterations"))
+def solve_pose_graph(
+    graph: PoseGraph,
+    rot: jnp.ndarray,
+    trans: jnp.ndarray,
+    count: jnp.ndarray,
+    gn_iterations: int = 5,
+    cg_iterations: int = 50,
+    cg_tol: float = 1e-6,
+    damping: float = 1e-6,
+) -> GraphSolution:
+    """Full Gauss-Newton re-solve of the pose graph (the per-keyframe
+    isam->update() + calculateEstimate sequence, backMapping.cpp:1115-1137).
+
+    Poses at index >= count are held fixed; active poses update by right
+    multiplication with Exp(delta)."""
+    k = rot.shape[0]
+    active = (jnp.arange(k) < count)[:, None]
+
+    def gn_body(_, carry):
+        rot, trans, err = carry
+        blocks = _linearize(graph, rot, trans, count)
+        g = _gradient(blocks, k)
+        diag = _hessian_diag_blocks(blocks, k)
+        pinv = inv3x3_blocks6(diag + damping * jnp.eye(6, dtype=trans.dtype))
+
+        # PCG for H delta = -g
+        b = -g * active
+        x = jnp.zeros_like(b)
+        r = b - _matvec(blocks, x, damping) * 1.0
+        r = r * active
+        z = _block_jacobi_apply(pinv, r) * active
+        p = z
+        rz = jnp.sum(r * z)
+
+        def cg_body(_, cg):
+            x, r, p, rz = cg
+            ap = _matvec(blocks, p, damping) * active
+            denom = jnp.maximum(jnp.sum(p * ap), 1e-30)
+            alpha = rz / denom
+            x = x + alpha * p
+            r = r - alpha * ap
+            z = _block_jacobi_apply(pinv, r) * active
+            rz_new = jnp.sum(r * z)
+            beta = rz_new / jnp.maximum(rz, 1e-30)
+            p = z + beta * p
+            return (x, r, p, rz_new)
+
+        x, r, p, rz = jax.lax.fori_loop(0, cg_iterations, cg_body, (x, r, p, rz))
+        delta = x * active
+
+        step = se3.exp(delta)  # batched [K]
+        new = se3.SE3(rot, trans).compose(step)
+        err = jnp.sum(
+            blocks.valid[:, None] * blocks.info_w * blocks.res**2
+        )
+        return (new.rot, new.trans, err)
+
+    rot, trans, err = jax.lax.fori_loop(0, gn_iterations, gn_body, (rot, trans, jnp.asarray(0.0, trans.dtype)))
+    return GraphSolution(rot, trans, jnp.asarray(gn_iterations), err)
+
+
+def inv3x3_blocks6(m: jnp.ndarray) -> jnp.ndarray:
+    """Batched 6x6 inverse for the block-Jacobi preconditioner."""
+    return jnp.linalg.inv(m)

@@ -1,0 +1,222 @@
+"""Scan-to-submap Gauss-Newton alignment with LOAM point-to-line /
+point-to-plane factors and degeneracy projection.
+
+TPU-native re-design of backMapping's scan2MapOptimization
+(/root/reference/src/backMapping.cpp:681-1068):
+  - cornerOptimization (:720-824): 5-NN + PCA line fit -> point-to-line
+    residual with the 1 - 0.9|d| weight,
+  - surfOptimization (:827-902): 5-NN + least-squares plane fit (A x = -1)
+    -> point-to-plane residual,
+  - LMOptimization (:929-1057): 6-dof Gauss-Newton on (roll,pitch,yaw,x,y,z)
+    with eigenvalue-thresholded degeneracy projection (:1006-1035).
+
+kd-trees are replaced by chunked MXU brute-force 5-NN; the per-point
+camera-coordinate trig Jacobian of the reference is replaced by the
+equivalent analytic dR/d(angle) contraction (same derivative, lidar frame).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import so3
+from ..geometry.se3 import SE3
+from ..ops.linalg import solve_psd
+from ..pointcloud.cloud import PaddedCloud
+from ..voxel.knn import knn_indices
+
+
+class FactorSet(NamedTuple):
+    """Per-point linearized constraints: direction [N,3], residual [N],
+    point (sensor frame) [N,3], valid [N]."""
+
+    direction: jnp.ndarray
+    residual: jnp.ndarray
+    point: jnp.ndarray
+    valid: jnp.ndarray
+
+
+def _rpy_matrices(rpy: jnp.ndarray):
+    """R and dR/d(roll), dR/d(pitch), dR/d(yaw) for R = Rz Ry Rx."""
+
+    def rot_of(v):
+        return so3.rpy_to_matrix(v[0], v[1], v[2])
+
+    r = rot_of(rpy)
+    dr = jax.jacfwd(rot_of)(rpy)  # [3, 3, 3] -> dR[i,j]/drpy[k]
+    return r, dr
+
+
+def corner_factors(
+    pts: jnp.ndarray,
+    mask: jnp.ndarray,
+    submap: PaddedCloud,
+    rot: jnp.ndarray,
+    trans: jnp.ndarray,
+    chunk: int = 512,
+) -> FactorSet:
+    """Point-to-line factors (cornerOptimization, backMapping.cpp:720-824)."""
+    world = jnp.einsum("ij,nj->ni", rot, pts) + trans
+    idx = knn_indices(world, mask, submap.xyz, submap.mask, 5, chunk)
+    neigh = submap.xyz[idx]  # [N, 5, 3]
+    d2 = jnp.sum((neigh - world[:, None, :]) ** 2, axis=-1)
+    near_ok = jnp.max(d2, axis=1) < 1.0  # pointSearchSqDis[4] < 1.0
+
+    center = jnp.mean(neigh, axis=1)
+    centered = neigh - center[:, None, :]
+    cov = jnp.einsum("nki,nkj->nij", centered, centered) / 5.0
+    eigval, eigvec = jnp.linalg.eigh(cov)  # ascending
+    line_ok = eigval[:, 2] > 3.0 * eigval[:, 1]  # matD1(0,0) > 3*matD1(0,1)
+    u = eigvec[:, :, 2]  # line direction (largest eigenvalue)
+
+    # distance of A=world to the line through `center` with direction u
+    rel = world - center
+    along = jnp.einsum("ni,ni->n", rel, u)
+    perp = rel - along[:, None] * u
+    ld2 = jnp.linalg.norm(perp, axis=-1)
+    direction = perp / jnp.maximum(ld2, 1e-9)[:, None]
+    s = 1.0 - 0.9 * jnp.abs(ld2)
+    valid = mask & near_ok & line_ok & (s > 0.1)
+    return FactorSet(s[:, None] * direction, s * ld2, pts, valid)
+
+
+def surf_factors(
+    pts: jnp.ndarray,
+    mask: jnp.ndarray,
+    submap: PaddedCloud,
+    rot: jnp.ndarray,
+    trans: jnp.ndarray,
+    chunk: int = 512,
+) -> FactorSet:
+    """Point-to-plane factors (surfOptimization, backMapping.cpp:827-902)."""
+    world = jnp.einsum("ij,nj->ni", rot, pts) + trans
+    idx = knn_indices(world, mask, submap.xyz, submap.mask, 5, chunk)
+    neigh = submap.xyz[idx]
+    d2 = jnp.sum((neigh - world[:, None, :]) ** 2, axis=-1)
+    near_ok = jnp.max(d2, axis=1) < 1.0
+
+    # plane fit: solve A n = -1 (5x3 least squares via normal equations)
+    ata = jnp.einsum("nki,nkj->nij", neigh, neigh)
+    atb = -jnp.sum(neigh, axis=1)
+    n_vec = jax.vmap(solve_psd)(ata, atb)  # [N, 3]
+    norm = jnp.linalg.norm(n_vec, axis=-1)
+    pa = n_vec / jnp.maximum(norm, 1e-9)[:, None]
+    pd = 1.0 / jnp.maximum(norm, 1e-9)
+    # plane quality: every neighbor within 0.2 m
+    plane_err = jnp.abs(jnp.einsum("nki,ni->nk", neigh, pa) + pd[:, None])
+    plane_ok = jnp.max(plane_err, axis=1) <= 0.2
+
+    pd2 = jnp.einsum("ni,ni->n", world, pa) + pd
+    origin_range = jnp.linalg.norm(pts, axis=-1)
+    s = 1.0 - 0.9 * jnp.abs(pd2) / jnp.sqrt(jnp.sqrt(jnp.maximum(origin_range, 1e-6)))
+    valid = mask & near_ok & plane_ok & (s > 0.1)
+    return FactorSet(s[:, None] * pa, s * pd2, pts, valid)
+
+
+class Scan2MapResult(NamedTuple):
+    rot: jnp.ndarray
+    trans: jnp.ndarray
+    rpy: jnp.ndarray
+    degenerate: jnp.ndarray
+    iterations: jnp.ndarray
+    num_factors: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def _gn_normal_eqs(factors: FactorSet, rpy: jnp.ndarray, xyz: jnp.ndarray):
+    """Assemble AtA/AtB (LMOptimization, backMapping.cpp:963-1003).
+
+    Column order [roll, pitch, yaw, x, y, z]; rotation columns are
+    coeff . (dR/dangle @ p) — algebraically identical to the reference's
+    camera-frame trig expansion (:975-986)."""
+    _, dr = _rpy_matrices(rpy)
+    # dr: [3, 3, 3] with dr[i, j, k] = dR[i,j]/drpy[k]
+    jrot = jnp.einsum("ni,ijk,nj->nk", factors.direction, dr, factors.point)  # [N, 3]
+    jac = jnp.concatenate([jrot, factors.direction], axis=-1)  # [N, 6]
+    w = factors.valid.astype(jac.dtype)
+    ata = jnp.einsum("n,ni,nj->ij", w, jac, jac)
+    atb = jnp.einsum("n,ni,n->i", w, jac, -factors.residual)
+    return ata, atb
+
+
+@partial(jax.jit, static_argnames=("max_iterations", "chunk"))
+def scan2map_optimize(
+    rpy0: jnp.ndarray,
+    xyz0: jnp.ndarray,
+    corner_pts: jnp.ndarray,
+    corner_mask: jnp.ndarray,
+    surf_pts: jnp.ndarray,
+    surf_mask: jnp.ndarray,
+    submap_corner: PaddedCloud,
+    submap_surf: PaddedCloud,
+    max_iterations: int = 30,
+    degeneracy_threshold: float = 100.0,
+    min_factors: int = 50,
+    chunk: int = 512,
+) -> Scan2MapResult:
+    """Iterative GN scan-to-submap alignment (scan2MapOptimization loop,
+    backMapping.cpp:692-705). rpy0/xyz0: initial guess (transformTobeMapped
+    order [roll,pitch,yaw] / [x,y,z])."""
+    dtype = xyz0.dtype
+    eye6 = jnp.eye(6, dtype=dtype)
+
+    def body(state):
+        rpy, xyz, proj, degen, it, conv, nfac = state
+        rot = so3.rpy_to_matrix(rpy[0], rpy[1], rpy[2])
+        cf = corner_factors(corner_pts, corner_mask, submap_corner, rot, xyz, chunk)
+        sf = surf_factors(surf_pts, surf_mask, submap_surf, rot, xyz, chunk)
+        nfac = jnp.sum(cf.valid) + jnp.sum(sf.valid)
+
+        ata_c, atb_c = _gn_normal_eqs(cf, rpy, xyz)
+        ata_s, atb_s = _gn_normal_eqs(sf, rpy, xyz)
+        ata = ata_c + ata_s
+        atb = atb_c + atb_s
+        x = solve_psd(ata, atb)
+
+        # degeneracy projection on the first iteration (:1006-1028)
+        def first_proj():
+            e, v = jnp.linalg.eigh(ata)  # ascending eigenvalues, columns
+            keep = (e >= degeneracy_threshold).astype(dtype)
+            p = jnp.einsum("ik,k,jk->ij", v, keep, v)
+            return p, jnp.any(e < degeneracy_threshold)
+
+        proj, degen = jax.lax.cond(
+            it == 0, first_proj, lambda: (proj, degen)
+        )
+        x = proj @ x
+
+        enough = nfac >= min_factors  # LMOptimization :949-951
+        x = jnp.where(enough, x, 0.0)
+        rpy = rpy + x[:3]
+        xyz = xyz + x[3:]
+
+        delta_r = jnp.rad2deg(jnp.linalg.norm(x[:3]))
+        delta_t = 100.0 * jnp.linalg.norm(x[3:])
+        conv = ((delta_r < 0.05) & (delta_t < 0.05)) | ~enough
+        return (rpy, xyz, proj, degen, it + 1, conv, nfac)
+
+    def cond(state):
+        _, _, _, _, it, conv, _ = state
+        return (it < max_iterations) & ~conv
+
+    state = (
+        rpy0, xyz0, eye6, jnp.array(False), jnp.asarray(0, jnp.int32),
+        jnp.array(False), jnp.asarray(0, jnp.int32),
+    )
+    rpy, xyz, _, degen, it, conv, nfac = jax.lax.while_loop(cond, body, state)
+    rot = so3.rpy_to_matrix(rpy[0], rpy[1], rpy[2])
+    return Scan2MapResult(rot, xyz, rpy, degen, it, nfac, conv)
+
+
+def constrain_transform(
+    rpy: jnp.ndarray, xyz: jnp.ndarray, rotation_tolerance: float, z_tolerance: float
+):
+    """transformUpdate (backMapping.cpp:1060-1068): clamp roll/pitch and z."""
+    rpy = rpy.at[0].set(jnp.clip(rpy[0], -rotation_tolerance, rotation_tolerance))
+    rpy = rpy.at[1].set(jnp.clip(rpy[1], -rotation_tolerance, rotation_tolerance))
+    xyz = xyz.at[2].set(jnp.clip(xyz[2], -z_tolerance, z_tolerance))
+    return rpy, xyz

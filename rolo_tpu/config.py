@@ -148,19 +148,27 @@ class PriorConfig:
 
 @dataclass(frozen=True)
 class FilterConfig:
-    """Pose ESKF options (eskf.hpp:55-69)."""
+    """Pose ESKF options, key-for-key with PoseESEKF::Options
+    (eskf.hpp:55-69)."""
 
-    pos_noise_std: float = 0.05
-    rot_noise_std: float = 0.05
-    meas_pos_noise_std: float = 0.02
-    meas_rot_noise_std: float = 0.02
-    init_vel_std: float = 1.0
-    init_omega_std: float = 1.0
-    init_acc_std: float = 1.0
-    init_alpha_std: float = 1.0
-    max_iterations: int = 3
-    propagate_step_m: float = 0.2  # lidarOdometry.cpp:259
+    max_dt: float = 1.0
+    q_linear_jerk_std: float = 0.5
+    q_angular_jerk_std: float = 0.5
+    r_position_std: float = 0.20
+    r_rotation_std: float = 0.10
+    init_position_std: float = 0.05
+    init_rotation_std: float = 0.05
+    init_velocity_std: float = 5.0
+    init_angular_velocity_std: float = 2.0
+    init_acceleration_std: float = 5.0
+    init_angular_acceleration_std: float = 2.0
+    maximum_iteration: int = 3
+    convergence_limit: float = 1e-4
+    # statePropagate(0.2, 8.0): 0.2 s steps until 8 m of travel
+    # (lidarOdometry.cpp:259 predictTimerHandler)
+    propagate_step_dt: float = 0.2
     propagate_horizon_m: float = 8.0
+    propagate_max_steps: int = 64  # static rollout capacity (TPU addition)
 
 
 @dataclass(frozen=True)

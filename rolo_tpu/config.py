@@ -133,8 +133,12 @@ class PriorConfig:
     gravity: float = 1.0
     max_iters: int = 60
     lm_lambda: float = 1e-2
-    tol_cost: float = 1e-12
-    tol_step: float = 1e-10
+    # Reference defaults are 1e-12 / 1e-10 (prior_pose_params.yaml), sized
+    # for the f64 Eigen solver; the f32 TPU solver bottoms out near 1e-8
+    # cost deltas, so these are rescaled to keep the same "converged within
+    # max_iters" semantics (PoseSolver::Solve, pose_solver.cpp:467-471).
+    tol_cost: float = 1e-8
+    tol_step: float = 1e-5
     ground_avg_radius: float = 0.3
     ground_min_neighbors: int = 5
     tolerance_z_min: float = -10.0

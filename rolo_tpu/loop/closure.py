@@ -24,14 +24,16 @@ TPU-native re-design of backMapping's loop-closure thread
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import TYPE_CHECKING, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ..geometry.se3 import SE3
-from ..mapping.keyframes import KeyframeDB
 from ..pointcloud.cloud import PaddedCloud
+
+if TYPE_CHECKING:  # annotation-only: avoids a loop<->mapping import cycle
+    from ..mapping.keyframes import KeyframeDB
 from ..pointcloud.features import voxel_downsample
 from ..voxel.knn import knn_indices
 

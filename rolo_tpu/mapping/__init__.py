@@ -6,6 +6,15 @@ from .keyframes import (
     update_poses,
     extract_submap,
 )
+from .backend import (
+    BackendOutput,
+    BackendState,
+    backend_step,
+    init_backend,
+    loop_closure_step,
+    prior_step,
+    record_prior_observation,
+)
 from .scan2map import (
     FactorSet,
     Scan2MapResult,
@@ -16,6 +25,13 @@ from .scan2map import (
 )
 
 __all__ = [
+    "BackendOutput",
+    "BackendState",
+    "backend_step",
+    "init_backend",
+    "loop_closure_step",
+    "prior_step",
+    "record_prior_observation",
     "KeyframeDB",
     "init_db",
     "add_keyframe",

@@ -1,0 +1,366 @@
+"""Back-end orchestrator: scan-to-submap optimization, keyframe/factor
+management, loop closure, ground priors, and pose-graph correction.
+
+TPU-native re-design of the backMapping node's main path
+(/root/reference/src/backMapping.cpp:420-513 laserCloudInfoHandler) and its
+background threads. The reference splits this across one mutex-guarded
+process with three threads; here it is a pure
+`backend_step(state, scan_inputs) -> (state, output)` plus explicit
+`loop_closure_step` / `prior_step` functions the runtime calls at their
+reference cadences (1 Hz / 5 Hz; SURVEY.md section 2.7). All state is one
+pytree — the checkpoint/resume unit.
+
+Where the reference runs iSAM2 incrementally (:1115-1126), this build
+re-solves the full pose graph with batched GN+PCG (graph/solver.py) — but
+only when new loop/prior factors are pending: with an odometry-chain-only
+graph the solution equals the initial estimate, so the solve is skipped
+(exactly the regime where isam->update() is a no-op correction-wise).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RoloConfig
+from ..geometry import so3
+from ..geometry.se3 import SE3
+from ..graph.factors import BetweenFactors, PoseGraph, add_between, empty_graph
+from ..graph.solver import solve_pose_graph
+from ..loop import closure as loopmod
+from ..loop import scancontext as sc
+from ..pointcloud.cloud import PaddedCloud
+from ..pointcloud.features import voxel_downsample
+from ..prior import association as priormod
+from .keyframes import KeyframeDB, add_keyframe, extract_submap, init_db, should_add_keyframe, update_poses
+from .scan2map import constrain_transform, scan2map_optimize
+
+
+class BackendState(NamedTuple):
+    db: KeyframeDB
+    graph: PoseGraph
+    scdb: sc.ScanContextDB
+    prior_queue: priormod.PriorQueue
+    loop_matched: jnp.ndarray  # [K] bool, loopIndexContainer analog
+    rpy: jnp.ndarray  # [3] transformTobeMapped[0:3]
+    xyz: jnp.ndarray  # [3] transformTobeMapped[3:6]
+    last_front_rot: jnp.ndarray  # [3,3] lastOdomTransformation
+    last_front_trans: jnp.ndarray  # [3]
+    has_front: jnp.ndarray  # [] bool (lastOdomTransAvailable)
+    pending_solve: jnp.ndarray  # [] bool (aLoopIsClosed analog)
+
+
+class BackendOutput(NamedTuple):
+    """publishOdometry payload (backMapping.cpp:1341-1396)."""
+
+    rot: jnp.ndarray  # [3,3] mapping pose
+    trans: jnp.ndarray  # [3]
+    keyframe_added: jnp.ndarray  # [] bool
+    degenerate: jnp.ndarray  # [] bool (covariance[0] flag :1385-1388)
+    s2m_iterations: jnp.ndarray
+    num_factors: jnp.ndarray
+
+
+def init_backend(cfg: RoloConfig, dtype=jnp.float32) -> BackendState:
+    st = cfg.static
+    return BackendState(
+        db=init_db(st.max_keyframes, st.max_corner_points, st.max_surf_points, dtype),
+        graph=empty_graph(st.max_keyframes, st.max_loop_factors, st.max_prior_factors, dtype),
+        scdb=sc.init_db(st.max_keyframes, cfg.loop.sc_num_ring, cfg.loop.sc_num_sector, dtype),
+        prior_queue=priormod.init_queue(st.max_prior_factors, 2048, dtype),
+        loop_matched=jnp.zeros((st.max_keyframes,), bool),
+        rpy=jnp.zeros(3, dtype),
+        xyz=jnp.zeros(3, dtype),
+        last_front_rot=jnp.eye(3, dtype=dtype),
+        last_front_trans=jnp.zeros(3, dtype),
+        has_front=jnp.asarray(False),
+        pending_solve=jnp.asarray(False),
+    )
+
+
+def _update_initial_guess(state: BackendState, front_rot, front_trans, odom_available):
+    """updateInitialGuess (backMapping.cpp:516-555): compose the front-end
+    increment since the last scan onto the current mapped pose."""
+    cur = SE3(so3.rpy_to_matrix(state.rpy[0], state.rpy[1], state.rpy[2]), state.xyz)
+    front = SE3(front_rot, front_trans)
+    incre = SE3(state.last_front_rot, state.last_front_trans).inverse().compose(front)
+    guessed = cur.compose(incre)
+
+    use = odom_available & state.has_front & (state.db.count > 0)
+    rot = jnp.where(use, guessed.rot, cur.rot)
+    trans = jnp.where(use, guessed.trans, cur.trans)
+    roll, pitch, yaw = so3.matrix_to_rpy(rot)
+    return jnp.stack([roll, pitch, yaw]), trans
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def backend_step(
+    state: BackendState,
+    corner: PaddedCloud,
+    surf: PaddedCloud,
+    sc_cloud: PaddedCloud,
+    front_rot: jnp.ndarray,
+    front_trans: jnp.ndarray,
+    odom_available: jnp.ndarray,
+    scan_time: jnp.ndarray,
+    cfg: RoloConfig,
+) -> Tuple[BackendState, BackendOutput]:
+    """One mapping step (laserCloudInfoHandler, backMapping.cpp:420-457):
+    initial guess -> submap extraction -> downsample -> scan-to-submap GN
+    -> keyframe gating -> factors -> (conditional) graph solve."""
+    st = cfg.static
+    m = cfg.mapping
+    dtype = state.xyz.dtype
+
+    rpy, xyz = _update_initial_guess(state, front_rot, front_trans, odom_available)
+
+    # downsampleCurrentScan (:666-678)
+    corner_ds = voxel_downsample(corner, m.mapping_corner_leaf_size, st.max_corner_points)
+    surf_ds = voxel_downsample(surf, m.mapping_surf_leaf_size, st.max_surf_points)
+
+    # extractSurroundingKeyFrames + scan2MapOptimization, gated on having
+    # keyframes (:558-560, :687)
+    def optimize(rpy, xyz):
+        sub_c, sub_s = extract_submap(
+            state.db, xyz, scan_time,
+            m.surrounding_keyframe_search_radius, m.surrounding_keyframe_recency_sec,
+            max_nearby=64, corner_out_cap=st.max_submap_points,
+            surf_out_cap=st.max_submap_points,
+            corner_leaf=m.mapping_corner_leaf_size, surf_leaf=m.mapping_surf_leaf_size,
+        )
+        res = scan2map_optimize(
+            rpy, xyz, corner_ds.xyz, corner_ds.mask, surf_ds.xyz, surf_ds.mask,
+            sub_c, sub_s, max_iterations=m.scan2map_max_iterations,
+            degeneracy_threshold=m.degeneracy_eigen_threshold,
+            chunk=st.knn_query_chunk,
+        )
+        return res.rpy, res.trans, res.degenerate, res.iterations, res.num_factors
+
+    def skip(rpy, xyz):
+        return rpy, xyz, jnp.array(False), jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)
+
+    rpy, xyz, degen, iters, nfac = jax.lax.cond(state.db.count > 0, optimize, skip, rpy, xyz)
+    rpy, xyz = constrain_transform(rpy, xyz, m.rotation_tolerance, m.z_tolerance)
+    pose = SE3(so3.rpy_to_matrix(rpy[0], rpy[1], rpy[2]), xyz)
+
+    # --- saveKeyFramesAndFactor (:1094-1221) ---------------------------
+    add = should_add_keyframe(
+        state.db, pose,
+        m.surrounding_keyframe_adding_dist_threshold,
+        m.surrounding_keyframe_adding_angle_threshold,
+    )
+    new_idx = state.db.count  # index this keyframe will take
+
+    db = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(add, b, a),
+        state.db,
+        add_keyframe(state.db, pose, scan_time, corner_ds, surf_ds),
+    )
+
+    # odometry factor / first prior (addOdomFactor :1224-1243)
+    last = SE3(state.db.rot[jnp.maximum(state.db.count - 1, 0)],
+               state.db.trans[jnp.maximum(state.db.count - 1, 0)])
+    rel = last.inverse().compose(pose)
+    graph = state.graph
+    is_first = state.db.count == 0
+    graph = graph._replace(
+        first_rot=jnp.where(add & is_first, pose.rot, graph.first_rot),
+        first_trans=jnp.where(add & is_first, pose.trans, graph.first_trans),
+        odom_rel_rot=jnp.where(
+            add & ~is_first,
+            graph.odom_rel_rot.at[jnp.minimum(new_idx, st.max_keyframes - 1)].set(rel.rot),
+            graph.odom_rel_rot,
+        ),
+        odom_rel_trans=jnp.where(
+            add & ~is_first,
+            graph.odom_rel_trans.at[jnp.minimum(new_idx, st.max_keyframes - 1)].set(rel.trans),
+            graph.odom_rel_trans,
+        ),
+    )
+
+    # scan-context descriptor for the new keyframe (:1183-1216)
+    desc = sc.make_descriptor(
+        sc_cloud.xyz, sc_cloud.mask,
+        cfg.loop.sc_num_ring, cfg.loop.sc_num_sector,
+        cfg.loop.sc_max_radius, cfg.loop.sc_lidar_height,
+    )
+    scdb = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(add, b, a), state.scdb, sc.add_descriptor(state.scdb, desc)
+    )
+
+    # --- conditional pose-graph solve + correctPoses (:1115-1137, :1287) --
+    def solve(db, graph):
+        sol = solve_pose_graph(graph, db.rot, db.trans, db.count)
+        db = update_poses(db, sol.rot, sol.trans)
+        return db, jnp.asarray(False)
+
+    def no_solve(db, graph):
+        return db, state.pending_solve & ~add  # keep pending until a keyframe lands
+
+    db, pending = jax.lax.cond(state.pending_solve & add, solve, no_solve, db, graph)
+
+    # transformTobeMapped <- latest estimate (:1165-1171)
+    latest = jnp.maximum(db.count - 1, 0)
+    corrected = SE3(db.rot[latest], db.trans[latest])
+    use_corr = add
+    out_rot = jnp.where(use_corr, corrected.rot, pose.rot)
+    out_trans = jnp.where(use_corr, corrected.trans, pose.trans)
+    roll, pitch, yaw = so3.matrix_to_rpy(out_rot)
+
+    new_state = BackendState(
+        db=db,
+        graph=graph,
+        scdb=scdb,
+        prior_queue=state.prior_queue,
+        loop_matched=state.loop_matched,
+        rpy=jnp.stack([roll, pitch, yaw]),
+        xyz=out_trans,
+        last_front_rot=front_rot,
+        last_front_trans=front_trans,
+        has_front=state.has_front | odom_available,
+        pending_solve=pending,
+    )
+    return new_state, BackendOutput(
+        rot=out_rot, trans=out_trans, keyframe_added=add,
+        degenerate=degen, s2m_iterations=iters, num_factors=nfac,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def loop_closure_step(state: BackendState, cfg: RoloConfig) -> Tuple[BackendState, jnp.ndarray]:
+    """One loop-closure pass (loopClosureThread body,
+    backMapping.cpp:1904-1927): scan-context detection and/or radius-search
+    detection per `loop_close_type`, ICP verification, factor insertion.
+    Returns (state, closed_any)."""
+    lc = cfg.loop
+    st = cfg.static
+    dtype = state.xyz.dtype
+    cur = jnp.maximum(state.db.count - 1, 0)
+
+    do_sc = lc.loop_close_type in ("sc", "all")
+    do_rs = lc.loop_close_type in ("rs", "all")
+
+    graph = state.graph
+    matched = state.loop_matched
+    closed = jnp.asarray(False)
+
+    def try_close(prev_idx, init_yaw, robust, found):
+        cur_sub = loopmod.assemble_loop_submap(
+            state.db, cur, 0, st.max_submap_points // 2, cfg.mapping.mapping_surf_leaf_size
+        )
+        prev_sub = loopmod.assemble_loop_submap(
+            state.db, prev_idx, lc.history_search_num,
+            st.max_submap_points, cfg.mapping.mapping_surf_leaf_size,
+        )
+        factor = loopmod.verify_loop(
+            state.db, cur, prev_idx, cur_sub, prev_sub, init_yaw,
+            max_corr_dist=(150.0 if robust else lc.history_search_radius * 2.0),
+            fitness_threshold=lc.history_fitness_score, robust=robust,
+        )
+        return factor._replace(accepted=factor.accepted & found)
+
+    def no_factor():
+        return loopmod.LoopFactor(
+            i=jnp.asarray(0, jnp.int32), j=jnp.asarray(0, jnp.int32),
+            rel_rot=jnp.eye(3, dtype=dtype), rel_trans=jnp.zeros(3, dtype),
+            noise_var=jnp.ones(6, dtype), robust_c=jnp.asarray(0.0, dtype),
+            accepted=jnp.asarray(False),
+        )
+
+    if lc.enable and do_sc:
+        det = sc.detect_loop(state.scdb, lc)
+        sc_found = det.found & (det.index != cur) & (state.db.count > 0)
+        factor = jax.lax.cond(
+            sc_found,
+            lambda: try_close(det.index, det.yaw_rad, True, sc_found),
+            no_factor,
+        )
+        graph = graph._replace(
+            loops=add_between(
+                graph.loops, factor.i, factor.j, factor.rel_rot, factor.rel_trans,
+                factor.noise_var, factor.robust_c, enable=factor.accepted,
+            )
+        )
+        matched = jnp.where(factor.accepted, matched.at[factor.i].set(True), matched)
+        closed = closed | factor.accepted
+
+    if lc.enable and do_rs:
+        prev_idx, rs_found = loopmod.detect_loop_distance(
+            state.db, matched, lc.history_search_radius, lc.history_search_time_diff
+        )
+        factor = jax.lax.cond(
+            rs_found,
+            lambda: try_close(prev_idx, jnp.asarray(0.0, dtype), False, rs_found),
+            no_factor,
+        )
+        graph = graph._replace(
+            loops=add_between(
+                graph.loops, factor.i, factor.j, factor.rel_rot, factor.rel_trans,
+                factor.noise_var, factor.robust_c, enable=factor.accepted,
+            )
+        )
+        matched = jnp.where(factor.accepted, matched.at[factor.i].set(True), matched)
+        closed = closed | factor.accepted
+
+    return (
+        state._replace(graph=graph, loop_matched=matched, pending_solve=state.pending_solve | closed),
+        closed,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def prior_step(
+    state: BackendState,
+    ground_now: PaddedCloud,
+    cfg: RoloConfig,
+) -> Tuple[BackendState, jnp.ndarray]:
+    """One prior-association pass (priorThread -> performPriorAssociation,
+    backMapping.cpp:1929-1941, 1943-2158): try every stored prior against
+    the current keyframe; at most one match is accepted per pass
+    (`break` at :2147). Returns (state, matched_any)."""
+    q = state.prior_queue
+    cur = jnp.maximum(state.db.count - 1, 0)
+    cur_rot = state.db.rot[cur]
+    cur_trans = state.db.trans[cur]
+
+    def try_entry(carry, idx):
+        graph, already = carry
+        linked = jnp.minimum(q.linked_key[idx], state.db.capacity - 1)
+        factor = priormod.associate_prior(
+            q.rel_rot[idx], q.rel_trans[idx], q.linked_key[idx],
+            PaddedCloud(q.patch_xyz[idx], q.patch_mask[idx]),
+            q.valid[idx] & (idx < q.count) & ~already & (state.db.count > 0),
+            state.db.rot[linked], state.db.trans[linked],
+            cur, cur_rot, cur_trans, ground_now, cfg.prior,
+        )
+        graph = graph._replace(
+            priors=add_between(
+                graph.priors, factor.i, factor.j, factor.rel_rot, factor.rel_trans,
+                factor.noise_var, enable=factor.accepted,
+            )
+        )
+        return (graph, already | factor.accepted), factor.accepted
+
+    (graph, matched_any), _ = jax.lax.scan(
+        try_entry, (state.graph, jnp.asarray(False)), jnp.arange(q.capacity)
+    )
+    return (
+        state._replace(graph=graph, pending_solve=state.pending_solve | matched_any),
+        matched_any,
+    )
+
+
+def record_prior_observation(
+    state: BackendState, obs: priormod.PriorObservation
+) -> BackendState:
+    """priorInfoHandler (backMapping.cpp:459-513): link the observation to
+    the latest keyframe and store it relative to that keyframe's pose."""
+    cur = jnp.maximum(state.db.count - 1, 0)
+    q = priormod.push_prior(
+        state.prior_queue, obs, cur, state.db.rot[cur], state.db.trans[cur],
+        enable=state.db.count > 0,
+    )
+    return state._replace(prior_queue=q)

@@ -66,6 +66,14 @@ class RegistrationConfig:
     rotation_epsilon: float = 2e-3
     transformation_epsilon: float = 5e-4
     ct_lambda: float = 0.3  # params.yaml continuousTrajectoryWeight
+    # Correspondence rebinding rounds for the translation stage. The
+    # reference binds once (the update_correspondences call inside
+    # t3_linearize is commented out, rot_vgicp_impl.hpp:509-512), which
+    # bounds per-scan translation recovery to ~the voxel-mean pull of the
+    # initial binding and leans on forward prediction. Rebinding is nearly
+    # free on TPU (hash gathers), so >1 round recovers large / cold-start
+    # translations; 1 reproduces the reference exactly.
+    ct_rebind_rounds: int = 4
 
 
 @dataclass(frozen=True)

@@ -123,10 +123,10 @@ def scan_step(
         rot_eps=cfg.rotation_epsilon, trans_eps=cfg.transformation_epsilon,
         init_lambda_factor=cfg.lm_init_lambda_factor,
     )
-    corr = gicp.update_correspondences(ctx, rot_res.rot, rot_res.trans)
-    ct_res = lm.lm_translation(
-        ctx, corr, jnp.zeros(3, dtype=dtype),
+    ct_res = lm.lm_translation_rebind(
+        ctx, rot_res.rot, jnp.zeros(3, dtype=dtype),
         guess, state.trans_old, interval, state.last_interval, cfg.ct_lambda,
+        rebind_rounds=cfg.ct_rebind_rounds,
         max_outer=cfg.max_outer_iterations, max_inner=cfg.lm_max_inner_iterations,
         trans_eps=cfg.transformation_epsilon,
         init_lambda_factor=cfg.lm_init_lambda_factor,

@@ -164,17 +164,31 @@ def ct_linearize(
     Residuals (source points are NOT rotated — the reference keeps input_ =
     the translation-propagated cloud, lidarOdometry.cpp:459,467):
       e  = mean_B - (p + t)
-      ct = (begin_A - transed_A)/dt_n - last_t0/dt_{n-1}
-         = -(g + t)/dt_n - last_t0/dt_{n-1}
-    weighted by w and lambda/N_corr. The reference's 4th homogeneous
-    component of last_transform is uninitialized memory (Vector4d::col(3) on
-    a 4x1 vector, :539-540); the intended 3-vector semantics are used here.
-    Correspondences/Mahalanobis are reused from the rotation stage — the
-    reference never re-binds them during the translation solve (:503-511).
+      ct = (g + t)/dt_n - last_t0/dt_{n-1}      (velocity continuity)
+    weighted by w and lambda/N_corr.
+
+    DELIBERATE FIX vs the reference: the shipped t3_linearize computes
+    ct_error = (begin_A - transed_A)/dt_n - last/dt_{n-1}
+             = -(g + t)/dt_n - last_t0/dt_{n-1}   (rot_vgicp_impl.hpp:548)
+    i.e. it penalizes (g+t)/dt + last/dt' — pulling the current step toward
+    the NEGATIVE of the previous one. The reference's own commented-out
+    C_vel line (:552) and the paper's continuous-time model use the
+    difference, which is what is implemented here; at high speed the
+    shipped sign halves the recovered translation (empirically: 1.2 m true
+    step -> ~0.52 m with the shipped sign, ~1.15 m with this one).
+    The CT Jacobian is the exact d(ct)/dt = I/dt (the reference reuses the
+    full [skew|-I]/dt point Jacobian at :578, whose rotation block is
+    spurious for a residual independent of rotation).
+
+    The reference's 4th homogeneous component of last_transform is
+    uninitialized memory (Vector4d::col(3) on a 4x1 vector, :539-540); the
+    intended 3-vector semantics are used here. Correspondences/Mahalanobis
+    are reused from the rotation stage — the reference never re-binds them
+    during the translation solve (:503-511); see lm_translation_rebind.
     """
     p = ctx.src_xyz
     e = corr.mean_b - (p + t)[:, None, :]
-    ct = -(init_guess + t) / interval_tn - last_t0 / interval_tn_1  # [3]
+    ct = (init_guess + t) / interval_tn - last_t0 / interval_tn_1  # [3]
     n_corr = jnp.maximum(jnp.sum(corr.weight > 0), 1.0)
     lam = ct_lambda / n_corr
 
@@ -186,7 +200,10 @@ def ct_linearize(
     )
 
     j1 = _j_se3(p + t)  # [N, 3, 6]
-    j2 = j1 / interval_tn
+    # d(ct)/d(xi): translation block +I/dt, rotation block zero
+    j2 = jnp.zeros_like(j1).at[:, :, 3:].set(
+        jnp.broadcast_to(jnp.eye(3, dtype=p.dtype), (p.shape[0], 3, 3)) / interval_tn
+    )
     mj1 = jnp.einsum("noij,njk->noik", corr.maha, j1)
     h = jnp.einsum("no,nji,nojk->ik", corr.weight, j1, mj1) + lam * jnp.einsum(
         "no,nji,nojk->ik", corr.weight, j2, jnp.einsum("noij,njk->noik", corr.maha, j2)
@@ -207,10 +224,11 @@ def ct_error(
     interval_tn_1: jnp.ndarray,
     ct_lambda: float,
 ) -> jnp.ndarray:
-    """compute_t_error (rot_vgicp_impl.hpp:609-658)."""
+    """compute_t_error (rot_vgicp_impl.hpp:609-658), with the corrected
+    velocity-continuity sign (see ct_linearize)."""
     p = ctx.src_xyz
     e = corr.mean_b - (p + t)[:, None, :]
-    ct = -(init_guess + t) / interval_tn - last_t0 / interval_tn_1
+    ct = (init_guess + t) / interval_tn - last_t0 / interval_tn_1
     n_corr = jnp.maximum(jnp.sum(corr.weight > 0), 1.0)
     lam = ct_lambda / n_corr
     me = jnp.einsum("noij,noj->noi", corr.maha, e)

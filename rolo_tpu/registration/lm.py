@@ -250,3 +250,57 @@ def lm_translation(
     state = (0, t0, jnp.asarray(-1.0, t0.dtype), jnp.array(False), jnp.array(False), h0, jnp.asarray(0.0, t0.dtype))
     it, t, lam, conv, failed, h, err = jax.lax.while_loop(outer_cond, outer_body, state)
     return CTResult(t, h, err, it, conv, failed)
+
+
+def lm_translation_rebind(
+    ctx: GICPContext,
+    rot: jnp.ndarray,
+    t0: jnp.ndarray,
+    init_guess: jnp.ndarray,
+    last_t0: jnp.ndarray,
+    interval_tn,
+    interval_tn_1,
+    ct_lambda: float,
+    rebind_rounds: int = 4,
+    max_outer: int = MAX_OUTER,
+    max_inner: int = MAX_INNER,
+    trans_eps: float = TRANSFORM_EPS,
+    init_lambda_factor: float = INIT_LAMBDA_FACTOR,
+) -> CTResult:
+    """CT translation with correspondence rebinding between solve rounds.
+
+    The reference binds correspondences once for the whole translation
+    solve (the rebind inside t3_linearize is commented out,
+    rot_vgicp_impl.hpp:509-512), which caps how much translation error a
+    single scan can recover — its accuracy rests on the forward location
+    prediction staying inside one binding's pull. On TPU a rebind is just
+    another batch of hash gathers, so this driver re-binds at the current
+    translation and re-solves, up to `rebind_rounds` times, stopping early
+    once a round no longer moves the estimate. rebind_rounds=1 reproduces
+    the reference exactly."""
+
+    def do_round(t):
+        corr = gicp.update_correspondences(ctx, rot, t)
+        return lm_translation(
+            ctx, corr, t, init_guess, last_t0, interval_tn, interval_tn_1,
+            ct_lambda, max_outer=max_outer, max_inner=max_inner,
+            trans_eps=trans_eps, init_lambda_factor=init_lambda_factor,
+        )
+
+    first = do_round(t0)
+    if rebind_rounds <= 1:
+        return first
+
+    def cond(s):
+        rnd, res, moved = s
+        return (rnd < rebind_rounds) & moved
+
+    def body(s):
+        rnd, res, _ = s
+        nxt = do_round(res.trans)
+        moved = jnp.max(jnp.abs(nxt.trans - res.trans)) > 10.0 * trans_eps
+        nxt = nxt._replace(iterations=res.iterations + nxt.iterations)
+        return (rnd + 1, nxt, moved)
+
+    _, res, _ = jax.lax.while_loop(cond, body, (1, first, jnp.array(True)))
+    return res

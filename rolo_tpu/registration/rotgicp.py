@@ -104,19 +104,18 @@ def register_scan_pair(
         init_lambda_factor=cfg.lm_init_lambda_factor,
     )
 
-    # Translation stage: correspondences bound at the final rotation state.
-    # (The reference reuses the binding from the last so3_linearize call —
-    # one LM step earlier; re-binding at the final state is strictly fresher.)
-    corr = gicp.update_correspondences(ctx, rot_res.rot, rot_res.trans)
-    ct_res = lm.lm_translation(
+    # Translation stage: correspondences bound at the final rotation state,
+    # rebound between rounds (lm_translation_rebind; rounds=1 == reference).
+    ct_res = lm.lm_translation_rebind(
         ctx,
-        corr,
+        rot_res.rot,
         jnp.zeros(3, dtype=dtype),
         init_translation,
         last_translation,
         interval_tn,
         interval_tn_1,
         cfg.ct_lambda,
+        rebind_rounds=cfg.ct_rebind_rounds,
         max_outer=cfg.max_outer_iterations,
         max_inner=cfg.lm_max_inner_iterations,
         trans_eps=cfg.transformation_epsilon,

@@ -1,0 +1,312 @@
+"""Full SLAM system driver: the TPU equivalent of `roslaunch rolo
+rolo_run.launch`.
+
+The reference runs five processes on a ROS bus
+(/root/reference/launch/module_loam.launch, module_prior.launch); here the
+whole per-scan pipeline — range-image projection, LOAM features, rot-GICP
+front-end, ESKF fusion, back-end mapping, loop closure, ground priors —
+is a handful of jitted programs driven by this host-side class at the
+reference cadences (mapping >= mappingProcessInterval, loops at
+loopClosureFrequency, priors at priorFactorFrequency; SURVEY.md
+sections 2.7, 3).
+
+Host<->device traffic is one scan in, one pose out per step; all SLAM
+state lives on device as pytrees (the checkpoint/resume unit).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RoloConfig
+from ..filter import fusion
+from ..frontend import odometry
+from ..geometry import so3
+from ..mapping import backend
+from ..pointcloud import features as feats
+from ..pointcloud.cloud import PaddedCloud, concat_clouds
+from ..pointcloud.projection import RawScan, project_scan
+from ..prior import association as prior_assoc
+from ..prior import ground as prior_ground
+from ..prior import vehicle as prior_vehicle
+from . import io as rio
+
+
+def infer_rings(xyz: np.ndarray, n_scan: int, fov_up_deg: float = 15.0, fov_down_deg: float = -25.0) -> np.ndarray:
+    """Ring index from vertical angle for sensors without a ring field
+    (the reference requires `ring`; this helper widens ingest to plain
+    xyz clouds like KITTI .bin)."""
+    d = np.linalg.norm(xyz[:, :2], axis=1)
+    ang = np.degrees(np.arctan2(xyz[:, 2], np.maximum(d, 1e-9)))
+    frac = (fov_up_deg - ang) / max(fov_up_deg - fov_down_deg, 1e-6)
+    return np.clip((frac * (n_scan - 1)).round(), 0, n_scan - 1).astype(np.int32)
+
+
+def infer_rel_time(xyz: np.ndarray, scan_period: float) -> np.ndarray:
+    """Per-point time from azimuth sweep (deskewCloudInfo fallback,
+    imageProjection.cpp:266-366: orientation span mapped to scanPeriod)."""
+    ang = np.arctan2(xyz[:, 1], xyz[:, 0])
+    rel = (ang[0] - ang) % (2.0 * math.pi)
+    return (rel / (2.0 * math.pi) * scan_period).astype(np.float32)
+
+
+class SlamSystem:
+    """One SLAM session over a scan stream.
+
+    Usage:
+        slam = SlamSystem(RoloConfig())
+        for stamp, points in scans:
+            pose = slam.process_scan(points, stamp)
+        slam.save_results("/tmp/out")
+    """
+
+    def __init__(self, cfg: RoloConfig = RoloConfig(), dtype=jnp.float32):
+        self.cfg = cfg
+        st = cfg.static
+        self.odom_state = odometry.init_state(st.max_feature_points, dtype)
+        self.fusion_state = fusion.init_fusion(cfg.filter, dtype)
+        self.backend_state = backend.init_backend(cfg, dtype)
+        self.vehicle = prior_vehicle.from_config(cfg.prior, dtype)
+        self.ground_map: Optional[prior_ground.GroundMap] = None
+
+        self._last_mapping_time = -np.inf
+        self._last_loop_time = -np.inf
+        self._last_prior_time = -np.inf
+        self._last_stamp: Optional[float] = None
+
+        # trajectory logs (host side)
+        self.times: List[float] = []
+        self.front_positions: List[np.ndarray] = []
+        self.front_quats: List[np.ndarray] = []
+        self.mapped_positions: List[np.ndarray] = []
+        self.mapped_quats: List[np.ndarray] = []
+
+        self._project = jax.jit(
+            lambda scan: project_scan(
+                scan, cfg.sensor.n_scan, cfg.sensor.horizon_scan,
+                cfg.sensor.lidar_min_range, cfg.sensor.lidar_max_range,
+                cfg.sensor.downsample_rate,
+            )
+        )
+        self._extract = jax.jit(
+            lambda ring: feats.extract_features(
+                ring, cfg.features.edge_threshold, cfg.features.surf_threshold,
+                cfg.features.odometry_surf_leaf_size,
+                st.max_corner_points, st.max_surf_points,
+            )
+        )
+
+    # -- ingest ----------------------------------------------------------
+
+    def set_ground_map(self, points: np.ndarray) -> None:
+        """External ground mapping input (the "/voxel_map" topic from the
+        point_seg ground_mapping node, launch/module_prior.launch:9)."""
+        cap = 1 << int(np.ceil(np.log2(max(len(points), 1))))
+        cloud = PaddedCloud.from_points(points, cap)
+        self.ground_map = prior_ground.GroundMap(cloud.xyz, cloud.mask)
+
+    def _make_raw_scan(self, points: np.ndarray, ring: Optional[np.ndarray], rel_time: Optional[np.ndarray]) -> RawScan:
+        cfg = self.cfg
+        cap = cfg.static.max_raw_points
+        pts = np.asarray(points, np.float32).reshape(-1, points.shape[-1])
+        xyz = pts[:, :3]
+        if ring is None:
+            ring = infer_rings(xyz, cfg.sensor.n_scan)
+        if rel_time is None:
+            rel_time = infer_rel_time(xyz, cfg.sensor.scan_period)
+        m = min(len(xyz), cap)
+        xyz_p = np.zeros((cap, 3), np.float32)
+        ring_p = np.zeros((cap,), np.int32)
+        t_p = np.zeros((cap,), np.float32)
+        mask = np.zeros((cap,), bool)
+        xyz_p[:m] = xyz[:m]
+        ring_p[:m] = ring[:m]
+        t_p[:m] = rel_time[:m]
+        mask[:m] = True
+        return RawScan(jnp.asarray(xyz_p), jnp.asarray(ring_p), jnp.asarray(t_p), jnp.asarray(mask))
+
+    # -- main per-scan entry ---------------------------------------------
+
+    def process_scan(
+        self,
+        points: np.ndarray,
+        stamp: float,
+        ring: Optional[np.ndarray] = None,
+        rel_time: Optional[np.ndarray] = None,
+    ) -> Dict[str, np.ndarray]:
+        """Push one scan through the pipeline; returns the front-end and
+        (when the mapping cadence fired) mapped poses."""
+        cfg = self.cfg
+        interval = (
+            cfg.sensor.scan_period if self._last_stamp is None else max(stamp - self._last_stamp, 1e-3)
+        )
+        self._last_stamp = stamp
+
+        scan = self._make_raw_scan(points, ring, rel_time)
+        ring_img = self._project(scan)
+        fc = self._extract(ring_img)
+        feat = concat_clouds(fc.corners, fc.surfaces, cfg.static.max_feature_points)
+
+        # front-end odometry
+        self.odom_state, odom_out = odometry.scan_step(
+            self.odom_state, feat.xyz, feat.mask, jnp.asarray(interval, feat.xyz.dtype),
+            cfg.registration, cfg.static.max_voxels, cfg.registration.k_correspondences,
+        )
+        front_rot = odom_out.pose_rot
+        front_trans = odom_out.pose_trans
+
+        # ESKF fusion measurement
+        self.fusion_state, _ = fusion.on_front_odometry(
+            self.fusion_state, jnp.asarray(stamp), front_rot, front_trans, cfg.filter
+        )
+
+        out: Dict[str, np.ndarray] = {
+            "front_rot": np.asarray(front_rot),
+            "front_trans": np.asarray(front_trans),
+        }
+
+        # back-end at mappingProcessInterval (backMapping.cpp:436)
+        if stamp - self._last_mapping_time >= cfg.mapping.mapping_process_interval:
+            self._last_mapping_time = stamp
+            # raw projected cloud for scan-context (scan_raw input type)
+            raw_valid = ring_img.mask.reshape(-1)
+            raw_cloud = PaddedCloud(ring_img.xyz.reshape(-1, 3), raw_valid)
+            sc_cloud = (
+                raw_cloud if cfg.loop.sc_input_type == "scan_raw" else fc.surfaces
+            )
+            self.backend_state, map_out = backend.backend_step(
+                self.backend_state, fc.corners, fc.surfaces, sc_cloud,
+                front_rot, front_trans, jnp.asarray(True), jnp.asarray(stamp), cfg,
+            )
+            self.fusion_state = fusion.on_mapping_odometry(
+                self.fusion_state, map_out.rot, map_out.trans, front_rot, front_trans
+            )
+            out["mapped_rot"] = np.asarray(map_out.rot)
+            out["mapped_trans"] = np.asarray(map_out.trans)
+            out["keyframe_added"] = bool(map_out.keyframe_added)
+            self.mapped_positions.append(out["mapped_trans"])
+            self.mapped_quats.append(np.asarray(so3.matrix_to_quat(map_out.rot)))
+
+        # loop closure at loopClosureFrequency (1 Hz default)
+        if cfg.loop.enable and stamp - self._last_loop_time >= 1.0 / cfg.loop.frequency_hz:
+            self._last_loop_time = stamp
+            self.backend_state, closed = backend.loop_closure_step(self.backend_state, cfg)
+            out["loop_closed"] = bool(closed)
+
+        # prior pipeline at priorFactorFrequency
+        if (
+            cfg.prior.enable
+            and self.ground_map is not None
+            and stamp - self._last_prior_time >= 1.0 / cfg.prior.frequency_hz
+        ):
+            self._last_prior_time = stamp
+            self._run_prior_cycle()
+
+        self.times.append(stamp)
+        self.front_positions.append(out["front_trans"])
+        self.front_quats.append(np.asarray(so3.matrix_to_quat(front_rot)))
+        return out
+
+    def _run_prior_cycle(self) -> None:
+        """predictTimerHandler -> prior_pose_node -> priorInfoHandler ->
+        performPriorAssociation chain (SURVEY.md section 3.4), synchronous."""
+        cfg = self.cfg
+        fut = fusion.predict_future(self.fusion_state, cfg.filter)
+        if not bool(fut.valid):
+            return
+        # future pose in the world frame = fused current pose o local future
+        fused = fusion.fused_pose(self.fusion_state, jnp.asarray(self._last_stamp), cfg.filter)
+        if not bool(fused.valid):
+            return
+        local_rot = so3.quat_to_matrix(fut.final_quat)
+        world_rot = fused.rot @ local_rot
+        world_pos = fused.rot @ fut.final_pos + fused.trans
+        yaw = jnp.arctan2(world_rot[1, 0], world_rot[0, 0])
+
+        obs = prior_assoc.compute_prior(
+            self.ground_map, self.vehicle, world_pos[0], world_pos[1], yaw, cfg.prior, 2048
+        )
+        if bool(obs.success):
+            self.backend_state = backend.record_prior_observation(self.backend_state, obs)
+
+        # association against the current keyframe: the live ground cloud is
+        # approximated by the ground-map patch around the current pose (the
+        # reference uses the point_seg live segmentation, which is external
+        # to this repo as well, backMapping.cpp:213)
+        cur_xy = self.backend_state.xyz[:2]
+        ground_now_cloud = prior_ground.extract_patch(
+            self.ground_map, cur_xy, 4.0 * cfg.prior.ground_patch_size, 4096
+        )
+        self.backend_state, _ = backend.prior_step(self.backend_state, ground_now_cloud, cfg)
+
+    # -- egress ----------------------------------------------------------
+
+    def keyframe_trajectory(self):
+        """(times, positions, quats_wxyz) of the optimized keyframe poses."""
+        db = self.backend_state.db
+        k = int(db.count)
+        rots = np.asarray(db.rot[:k])
+        quats = np.stack([np.asarray(so3.matrix_to_quat(jnp.asarray(r))) for r in rots]) if k else np.zeros((0, 4))
+        return np.asarray(db.time[:k]), np.asarray(db.trans[:k]), quats
+
+    def save_results(self, out_dir: str) -> None:
+        """End-of-run export: TUM trajectories + g2o graph + keyframe map
+        PCD (saveTUM/saveGlobalPCDs, backMapping.cpp:1500-1608, 2679-2699)."""
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+        rio.write_tum(
+            os.path.join(out_dir, "front_end_tum.txt"),
+            self.times, np.asarray(self.front_positions), np.asarray(self.front_quats),
+        )
+        kt, kp, kq = self.keyframe_trajectory()
+        rio.write_tum(os.path.join(out_dir, "optimized_tum.txt"), kt, kp, kq)
+
+        # g2o: odometry chain + loop + prior edges
+        st = self.backend_state
+        k = int(st.db.count)
+        odom_edges = []
+        for i in range(1, k):
+            rel_r = np.asarray(st.graph.odom_rel_rot[i])
+            rel_t = np.asarray(st.graph.odom_rel_trans[i])
+            odom_edges.append((i - 1, i, rel_t, np.asarray(so3.matrix_to_quat(jnp.asarray(rel_r)))))
+
+        def edges_of(f):
+            out = []
+            for n in range(int(f.count)):
+                out.append((
+                    int(f.i[n]), int(f.j[n]), np.asarray(f.rel_trans[n]),
+                    np.asarray(so3.matrix_to_quat(jnp.asarray(f.rel_rot[n]))),
+                ))
+            return out
+
+        rio.write_g2o(
+            os.path.join(out_dir, "pose_graph.g2o"), kp, kq,
+            odom_edges, edges_of(st.graph.loops), edges_of(st.graph.priors),
+        )
+
+        # merged keyframe feature map
+        clouds = []
+        for i in range(k):
+            rot = np.asarray(st.db.rot[i])
+            trans = np.asarray(st.db.trans[i])
+            for xyz, mask in ((st.db.corner_xyz[i], st.db.corner_mask[i]),
+                              (st.db.surf_xyz[i], st.db.surf_mask[i])):
+                pts = np.asarray(xyz)[np.asarray(mask)]
+                clouds.append(pts @ rot.T + trans)
+        if clouds:
+            rio.write_pcd(os.path.join(out_dir, "global_map.pcd"), np.concatenate(clouds))
+
+    def checkpoint(self, path: str) -> None:
+        """Serialize the full SLAM state (backend + frontend + fusion)."""
+        rio.save_checkpoint(path, (self.odom_state, self.fusion_state, self.backend_state))
+
+    def restore(self, path: str) -> None:
+        self.odom_state, self.fusion_state, self.backend_state = rio.load_checkpoint(
+            path, (self.odom_state, self.fusion_state, self.backend_state)
+        )

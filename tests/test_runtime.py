@@ -1,0 +1,211 @@
+"""Runtime tests: IO round-trips, metrics oracles, checkpoint/resume, and
+an end-to-end SlamSystem run over a synthetic world."""
+
+import os
+
+import numpy as np
+import pytest
+
+from rolo_tpu.config import (
+    FeatureConfig,
+    LoopConfig,
+    MappingConfig,
+    RoloConfig,
+    SensorConfig,
+    StaticConfig,
+)
+from rolo_tpu.runtime import io as rio
+from rolo_tpu.runtime import metrics
+from rolo_tpu.runtime.slam import SlamSystem, infer_rings
+
+
+class TestIO:
+    def test_pcd_roundtrip_binary(self, tmp_path):
+        pts = np.random.default_rng(0).normal(size=(100, 3)).astype(np.float32)
+        path = str(tmp_path / "a.pcd")
+        rio.write_pcd(path, pts, intensity=np.arange(100, dtype=np.float32))
+        fields = rio.read_pcd(path)
+        np.testing.assert_allclose(
+            np.column_stack([fields["x"], fields["y"], fields["z"]]), pts, atol=1e-6
+        )
+        np.testing.assert_allclose(fields["intensity"], np.arange(100), atol=1e-5)
+
+    def test_pcd_roundtrip_ascii(self, tmp_path):
+        pts = np.random.default_rng(1).normal(size=(50, 3)).astype(np.float32)
+        path = str(tmp_path / "b.pcd")
+        rio.write_pcd(path, pts, binary=False)
+        fields = rio.read_pcd(path)
+        np.testing.assert_allclose(
+            np.column_stack([fields["x"], fields["y"], fields["z"]]), pts, atol=1e-5
+        )
+
+    def test_tum_roundtrip(self, tmp_path):
+        t = np.arange(5, dtype=np.float64)
+        pos = np.random.default_rng(2).normal(size=(5, 3))
+        quat = np.tile([1.0, 0, 0, 0], (5, 1))
+        path = str(tmp_path / "traj.txt")
+        rio.write_tum(path, t, pos, quat)
+        t2, p2, q2 = rio.read_tum(path)
+        np.testing.assert_allclose(t2, t, atol=1e-6)
+        np.testing.assert_allclose(p2, pos, atol=1e-5)
+        np.testing.assert_allclose(q2, quat, atol=1e-6)
+
+    def test_g2o_format(self, tmp_path):
+        pos = np.zeros((3, 3))
+        quat = np.tile([1.0, 0, 0, 0], (3, 1))
+        edges = [(0, 1, np.ones(3), np.array([1.0, 0, 0, 0]))]
+        path = str(tmp_path / "g.g2o")
+        rio.write_g2o(path, pos, quat, edges, edges)
+        lines = open(path).read().splitlines()
+        assert sum(l.startswith("VERTEX_SE3:QUAT") for l in lines) == 3
+        assert sum(l.startswith("EDGE_SE3:QUAT") for l in lines) == 2
+
+    def test_kitti_bin(self, tmp_path):
+        pts = np.random.default_rng(3).normal(size=(20, 4)).astype(np.float32)
+        path = str(tmp_path / "000000.bin")
+        pts.tofile(path)
+        np.testing.assert_allclose(rio.read_kitti_bin(path), pts)
+
+
+class TestMetrics:
+    def test_ate_zero_on_identical(self):
+        pos = np.random.default_rng(0).normal(size=(20, 3))
+        res = metrics.ate(pos, pos)
+        assert res.rmse < 1e-9
+
+    def test_ate_alignment_removes_rigid_offset(self):
+        rng = np.random.default_rng(1)
+        gt = rng.normal(size=(30, 3))
+        ang = 0.7
+        c, s = np.cos(ang), np.sin(ang)
+        rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+        est = gt @ rot.T + np.array([5.0, -2.0, 1.0])
+        res = metrics.ate(est, gt, align=True)
+        assert res.rmse < 1e-9
+        res_raw = metrics.ate(est, gt, align=False)
+        assert res_raw.rmse > 1.0
+
+    def test_ate_known_error(self):
+        gt = np.zeros((10, 3))
+        est = gt.copy()
+        est[:, 0] = 0.5  # uniform offset removed by alignment
+        res = metrics.ate(est, gt, align=False)
+        assert abs(res.rmse - 0.5) < 1e-9
+
+    def test_rpe(self):
+        gt = np.cumsum(np.ones((10, 3)), axis=0)
+        est = gt + np.random.default_rng(2).normal(0, 1e-9, (10, 3))
+        assert metrics.rpe(est, gt) < 1e-6
+
+    def test_associate_by_time(self):
+        ta = np.array([0.0, 1.0, 2.0])
+        tb = np.array([0.005, 0.9, 1.99, 3.5])
+        ia, ib = metrics.associate_by_time(ta, tb, max_diff=0.15)
+        assert list(ia) == [0, 1, 2]
+        assert list(ib) == [0, 1, 2]
+
+
+SLAM_CFG = RoloConfig(
+    sensor=SensorConfig(n_scan=16, horizon_scan=512, lidar_min_range=1.0, lidar_max_range=40.0),
+    features=FeatureConfig(edge_threshold=0.8, surf_threshold=0.1),
+    mapping=MappingConfig(scan2map_max_iterations=6, mapping_process_interval=0.05),
+    loop=LoopConfig(enable=False),
+    static=StaticConfig(
+        max_raw_points=16384,
+        max_corner_points=512,
+        max_surf_points=1024,
+        max_feature_points=1536,
+        max_voxels=4096,
+        max_keyframes=64,
+        max_submap_points=4096,
+        max_loop_factors=16,
+        max_prior_factors=16,
+        knn_query_chunk=256,
+    ),
+)
+
+
+def _synthetic_scan(rot, trans, seed=0):
+    """A corridor world sampled as a lidar would see it from (rot, trans)."""
+    rng = np.random.default_rng(seed)
+    world = []
+    # walls at y=+-6, pillars, ground
+    wx = rng.uniform(-5, 45, 1500)
+    wz = rng.uniform(-1.0, 3.0, 1500)
+    world.append(np.column_stack([wx, np.full(1500, 6.0), wz]))
+    world.append(np.column_stack([wx, np.full(1500, -6.0), wz]))
+    gxy = rng.uniform([-5, -6], [45, 6], (2000, 2))
+    world.append(np.column_stack([gxy, np.full(2000, -1.5)]))
+    for px, py in [(5, 2), (12, -3), (20, 1), (28, -2), (35, 3)]:
+        pz = rng.uniform(-1, 3, (120, 1))
+        world.append(np.column_stack([
+            np.full((120, 1), float(px)), np.full((120, 1), float(py)), pz
+        ]).reshape(120, 3))
+    world = np.concatenate(world).astype(np.float32)
+    world += rng.normal(0, 0.01, world.shape).astype(np.float32)
+    local = (world - trans) @ rot
+    keep = np.linalg.norm(local, axis=1) < 35.0
+    return local[keep]
+
+
+class TestSlamSystem:
+    @pytest.fixture(scope="class")
+    def slam_run(self):
+        slam = SlamSystem(SLAM_CFG)
+        gt = []
+        for i in range(10):
+            trans = np.array([1.2 * i, 0.0, 0.0], np.float32)
+            rot = np.eye(3, dtype=np.float32)
+            pts = _synthetic_scan(rot, trans, seed=42)
+            slam.process_scan(pts, stamp=0.1 * i)
+            gt.append(trans)
+        return slam, np.asarray(gt)
+
+    def test_trajectory_tracks_truth(self, slam_run):
+        """12 m/s on a sparse synthetic corridor: the aligned front-end ATE
+        stays under 0.6 m over a 10.8 m run (dominated by a small
+        voxel-mean scale bias; the reference's shipped CT sign produced
+        ~2.6 m here before the gicp.ct_linearize fix)."""
+        slam, gt = slam_run
+        est = np.asarray(slam.front_positions)
+        res = metrics.ate(est, gt, align=True)
+        assert res.rmse < 0.6, res
+
+    def test_keyframes_created(self, slam_run):
+        slam, _ = slam_run
+        assert int(slam.backend_state.db.count) >= 5
+
+    def test_mapped_trajectory(self, slam_run):
+        slam, gt = slam_run
+        mp = np.asarray(slam.mapped_positions)
+        assert mp.shape[0] >= 5
+        assert np.all(np.isfinite(mp))
+
+    def test_save_results(self, slam_run, tmp_path):
+        slam, _ = slam_run
+        out = str(tmp_path / "results")
+        slam.save_results(out)
+        assert os.path.exists(os.path.join(out, "front_end_tum.txt"))
+        assert os.path.exists(os.path.join(out, "optimized_tum.txt"))
+        assert os.path.exists(os.path.join(out, "pose_graph.g2o"))
+        assert os.path.exists(os.path.join(out, "global_map.pcd"))
+        t, p, q = rio.read_tum(os.path.join(out, "optimized_tum.txt"))
+        assert p.shape[0] == int(slam.backend_state.db.count)
+
+    def test_checkpoint_resume(self, slam_run, tmp_path):
+        slam, _ = slam_run
+        path = str(tmp_path / "ckpt.npz")
+        slam.checkpoint(path)
+        slam2 = SlamSystem(SLAM_CFG)
+        slam2.restore(path)
+        assert int(slam2.backend_state.db.count) == int(slam.backend_state.db.count)
+        np.testing.assert_allclose(
+            np.asarray(slam2.odom_state.pose_trans), np.asarray(slam.odom_state.pose_trans)
+        )
+
+
+class TestInferRings:
+    def test_monotone_with_elevation(self):
+        pts = np.array([[10.0, 0, -5.0], [10.0, 0, 0.0], [10.0, 0, 2.6]], np.float32)
+        rings = infer_rings(pts, 16)
+        assert rings[0] > rings[1] > rings[2]

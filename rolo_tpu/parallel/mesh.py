@@ -1,0 +1,73 @@
+"""Device-mesh helpers for pod-scale batching.
+
+The reference's distribution story is five OS processes on a TCPROS bus on
+one machine (SURVEY.md section 2.7); its per-scan compute never exceeds one
+CPU. The TPU build's scaling axis is *batch*: thousands of concurrent
+scan-pair registrations, odometry sequences, pose-graph solves, and prior
+solves sharded over a `jax.sharding.Mesh`. These helpers standardize mesh
+construction and pytree sharding so every batched entry point in
+parallel/batch.py works identically on 1 chip, a v5e slice, or a CPU mesh
+of virtual devices (tests/conftest.py).
+
+Axis convention: ("host", "batch") for multi-host pods — batch sharding
+rides ICI within a slice, host sharding rides DCN; single-slice runs use a
+1D ("batch",) mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    axis_names: Sequence[str] = ("batch",),
+    axis_sizes: Optional[Sequence[int]] = None,
+) -> Mesh:
+    """Build a mesh over the first `n_devices` devices.
+
+    With one axis the mesh is 1D; with several, `axis_sizes` must multiply
+    to the device count (e.g. axis_names=("host", "batch"),
+    axis_sizes=(n_hosts, devices_per_host))."""
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = np.asarray(devices[:n_devices])
+    if axis_sizes is None:
+        axis_sizes = (n_devices,) if len(axis_names) == 1 else None
+    if axis_sizes is None:
+        raise ValueError("axis_sizes required for multi-axis meshes")
+    return Mesh(devices.reshape(tuple(axis_sizes)), axis_names=tuple(axis_names))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "batch") -> NamedSharding:
+    """Sharding that splits axis 0 of an array across `axis_name`."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(pytree, mesh: Mesh, axis_name: str = "batch"):
+    """Place every leaf with axis 0 sharded over `axis_name` (leaves whose
+    leading dimension is not divisible by the axis size are replicated)."""
+    axis_size = mesh.shape[axis_name]
+    sharded = batch_sharding(mesh, axis_name)
+    repl = replicated(mesh)
+
+    def place(x):
+        if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] % axis_size == 0 and x.shape[0] > 0:
+            return jax.device_put(x, sharded)
+        return jax.device_put(x, repl)
+
+    return jax.tree_util.tree_map(place, pytree)
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    """Smallest multiple of m that is >= n (batch padding for even sharding)."""
+    return ((n + m - 1) // m) * m

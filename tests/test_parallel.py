@@ -1,0 +1,145 @@
+"""Mesh/batch parallelism tests on the 8-virtual-device CPU mesh
+(conftest.py): sharded registration batches, batched odometry sequences,
+batched prior solves, and sharding placement checks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rolo_tpu.config import PriorConfig, RegistrationConfig
+from rolo_tpu.parallel import (
+    make_mesh,
+    odometry_batch,
+    prior_solve_batch,
+    registration_batch,
+    shard_batch,
+    shard_registration_inputs,
+)
+from rolo_tpu.prior import ground as gnd
+from rolo_tpu.prior import vehicle as veh
+
+
+def _structured(n, seed):
+    rng = np.random.default_rng(seed)
+    walls = []
+    for nv, d in [((1, 0, 0), 8.0), ((0, 1, 0), 10.0), ((0, 0, 1), -1.5), ((0.7, 0.7, 0), 12.0)]:
+        m = n // 4
+        nv = np.array(nv, np.float64)
+        nv /= np.linalg.norm(nv)
+        t1 = np.cross(nv, [0, 0, 1.0] if abs(nv[2]) < 0.9 else [1.0, 0, 0])
+        t1 /= np.linalg.norm(t1)
+        t2 = np.cross(nv, t1)
+        u = rng.uniform(-5, 5, (m, 2))
+        walls.append(d * nv + u[:, :1] * t1 + u[:, 1:] * t2)
+    pts = np.concatenate(walls)[:n].astype(np.float32)
+    return pts + rng.normal(0, 0.005, pts.shape).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8, "conftest should provide 8 virtual devices"
+    return make_mesh(8)
+
+
+class TestMesh:
+    def test_make_mesh_1d(self, mesh):
+        assert mesh.shape["batch"] == 8
+
+    def test_make_mesh_2d(self):
+        m = make_mesh(8, axis_names=("host", "batch"), axis_sizes=(2, 4))
+        assert m.shape["host"] == 2 and m.shape["batch"] == 4
+
+    def test_shard_batch_placement(self, mesh):
+        x = jnp.zeros((16, 4))
+        y = jnp.zeros((3,))  # not divisible -> replicated
+        sx, sy = shard_batch((x, y), mesh)
+        assert len(sx.sharding.device_set) == 8
+        assert sy.sharding.is_fully_replicated
+
+
+class TestRegistrationBatch:
+    def test_sharded_batch_matches_single(self, mesh):
+        n, b = 512, 8
+        cfg = RegistrationConfig(max_outer_iterations=16)
+        src = np.stack([_structured(n, s) for s in range(b)])
+        ang = 0.05
+        c, s = np.cos(ang), np.sin(ang)
+        rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+        t = np.array([0.2, -0.1, 0.0], np.float32)
+        tgt = src @ rot.T + t
+        masks = np.ones((b, n), bool)
+
+        inputs = shard_registration_inputs(
+            mesh, jnp.asarray(src), jnp.asarray(masks), jnp.asarray(tgt), jnp.asarray(masks)
+        )
+        res = registration_batch(*inputs, cfg=cfg, voxel_capacity=2048, k=10)
+        jax.block_until_ready(res)
+        assert res.rot.shape == (b, 3, 3)
+        for i in range(b):
+            np.testing.assert_allclose(np.asarray(res.rot[i]), rot, atol=0.02)
+            np.testing.assert_allclose(np.asarray(res.trans[i]), t, atol=0.08)
+
+    def test_batch_result_deterministic_vs_unsharded(self, mesh):
+        n, b = 256, 8
+        cfg = RegistrationConfig(max_outer_iterations=8)
+        src = np.stack([_structured(n, 100 + s) for s in range(b)])
+        tgt = src + np.array([0.1, 0.0, 0.0], np.float32)
+        masks = np.ones((b, n), bool)
+        plain = registration_batch(
+            jnp.asarray(src), jnp.asarray(masks), jnp.asarray(tgt), jnp.asarray(masks),
+            jnp.zeros((b, 3)), jnp.zeros((b, 3)), jnp.full((b,), 0.1), jnp.full((b,), 0.1),
+            cfg=cfg, voxel_capacity=1024, k=10,
+        )
+        inputs = shard_registration_inputs(
+            mesh, jnp.asarray(src), jnp.asarray(masks), jnp.asarray(tgt), jnp.asarray(masks)
+        )
+        sharded = registration_batch(*inputs, cfg=cfg, voxel_capacity=1024, k=10)
+        np.testing.assert_allclose(np.asarray(plain.trans), np.asarray(sharded.trans), atol=1e-4)
+
+
+class TestOdometryBatch:
+    def test_batched_sequences(self, mesh):
+        b, t_steps, n = 8, 3, 256
+        cfg = RegistrationConfig(max_outer_iterations=8)
+        rng = np.random.default_rng(0)
+        feats = np.zeros((b, t_steps, n, 3), np.float32)
+        for i in range(b):
+            base = _structured(n, 200 + i)
+            for t in range(t_steps):
+                feats[i, t] = base - np.array([0.2 * t, 0, 0], np.float32)
+        masks = np.ones((b, t_steps, n), bool)
+        intervals = np.full((b, t_steps), 0.1, np.float32)
+
+        inputs = shard_batch(
+            (jnp.asarray(feats), jnp.asarray(masks), jnp.asarray(intervals)), mesh
+        )
+        outs = odometry_batch(*inputs, cfg=cfg, voxel_capacity=1024, k=10)
+        jax.block_until_ready(outs)
+        assert outs.pose_trans.shape == (b, t_steps, 3)
+        # sensor moves +x ~0.2/step
+        final_x = np.asarray(outs.pose_trans[:, -1, 0])
+        np.testing.assert_allclose(final_x, 0.4, atol=0.15)
+
+
+class TestPriorBatch:
+    def test_batched_prior_solves(self, mesh):
+        cfg = PriorConfig(tolerance_roll=0.5, tolerance_pitch=0.5)
+        rng = np.random.default_rng(1)
+        xy = rng.uniform(-10, 10, (4096, 2))
+        z = 0.1 * xy[:, 0]
+        gm = gnd.GroundMap(
+            jnp.asarray(np.column_stack([xy, z]).astype(np.float32)), jnp.ones(4096, bool)
+        )
+        vm = veh.from_config(cfg)
+        b = 8
+        xs = jnp.asarray(np.linspace(-3, 3, b), jnp.float32)
+        ys = jnp.zeros(b, jnp.float32)
+        yaws = jnp.zeros(b, jnp.float32)
+        xs, ys, yaws = shard_batch((xs, ys, yaws), mesh)
+        res = prior_solve_batch(gm, vm, xs, ys, yaws, cfg)
+        assert bool(jnp.all(res.converged))
+        # slope 0.1 in x -> pitch ~ -atan(0.1) sign aside, magnitude check
+        np.testing.assert_allclose(
+            np.abs(np.asarray(res.pitch)), np.arctan(0.1), atol=0.08
+        )

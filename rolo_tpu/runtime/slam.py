@@ -78,6 +78,10 @@ class SlamSystem:
         self._last_loop_time = -np.inf
         self._last_prior_time = -np.inf
         self._last_stamp: Optional[float] = None
+        # Stamps are rebased to the first scan: device time is f32, whose
+        # resolution at UNIX-epoch magnitudes (~1.7e9 s) is worse than a
+        # whole scan period.
+        self._epoch: Optional[float] = None
 
         # trajectory logs (host side)
         self.times: List[float] = []
@@ -142,6 +146,9 @@ class SlamSystem:
         """Push one scan through the pipeline; returns the front-end and
         (when the mapping cadence fired) mapped poses."""
         cfg = self.cfg
+        if self._epoch is None:
+            self._epoch = stamp
+        stamp = stamp - self._epoch
         interval = (
             cfg.sensor.scan_period if self._last_stamp is None else max(stamp - self._last_stamp, 1e-3)
         )

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from ..geometry import so3
 from ..geometry.se3 import SE3
+from ..ops.eig3 import eigh3
 from ..ops.linalg import solve_psd
 from ..pointcloud.cloud import PaddedCloud
 from ..voxel.knn import knn_indices
@@ -69,7 +70,7 @@ def corner_factors(
     center = jnp.mean(neigh, axis=1)
     centered = neigh - center[:, None, :]
     cov = jnp.einsum("nki,nkj->nij", centered, centered) / 5.0
-    eigval, eigvec = jnp.linalg.eigh(cov)  # ascending
+    eigval, eigvec = eigh3(cov)  # ascending (closed form; see ops/eig3.py)
     line_ok = eigval[:, 2] > 3.0 * eigval[:, 1]  # matD1(0,0) > 3*matD1(0,1)
     u = eigvec[:, :, 2]  # line direction (largest eigenvalue)
 

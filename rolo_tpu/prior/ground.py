@@ -16,6 +16,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.eig3 import eigh3
 from ..pointcloud.cloud import PaddedCloud
 
 # FitLocalSurface call-site constants (pose_solver.cpp:597-607, hardcoded
@@ -107,7 +108,7 @@ def fit_local_surface(
     centroid = jnp.einsum("n,ni->i", wi, gm.xyz) / wisum
     centered = gm.xyz - centroid
     cov = jnp.einsum("n,ni,nj->ij", wi, centered, centered)
-    _, vecs = jnp.linalg.eigh(cov)
+    _, vecs = eigh3(cov)  # closed form (ops/eig3.py); XLA eigh is slow on TPU
     normal = vecs[:, 0]  # smallest eigenvalue
     d = -jnp.dot(normal, centroid)
     c = normal[2]

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..geometry import so3
 from ..ops.linalg import inv3x3
-from ..voxel.voxelmap import VoxelMap, lookup, polar_coord, uniform_coord
+from ..voxel.voxelmap import VoxelMap, lookup_join, polar_coord, uniform_coord
 
 # Neighbor offset tables (vmp_voxel.hpp:13-47).
 OFFSETS = {
@@ -84,7 +84,9 @@ def update_correspondences(
     # [N, O, 3] neighbor coordinates
     coords = coord[:, None, :] + ctx.offsets[None, :, :]
     n, o = coords.shape[0], coords.shape[1]
-    found, num, mean_b, cov_b = lookup(ctx.vmap, coords.reshape(n * o, 3))
+    found, num, mean_b, cov_b = lookup_join(
+        ctx.vmap, coords.reshape(n * o, 3), polar=ctx.polar_res is not None
+    )
     found = found.reshape(n, o) & ctx.src_mask[:, None]
     num = num.reshape(n, o)
     mean_b = mean_b.reshape(n, o, 3)

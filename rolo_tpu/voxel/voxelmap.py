@@ -25,6 +25,8 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
 
+from ..ops.voxel_join import INVALID_PACK, pack_polar, pack_uniform, voxel_join
+
 _INVALID_KEY = jnp.int32(0x7FFFFFFF)
 # Number of consecutive slots probed on lookup to survive hash collisions.
 _PROBE = 4
@@ -85,7 +87,9 @@ class VoxelMap(NamedTuple):
 
     key [V] int32 sorted ascending (invalid slots = 0x7FFFFFFF);
     coord [V, 3] int32; num_points [V] f32; mean [V, 3]; cov [V, 3, 3];
-    kappa [V] f32; valid [V] bool.
+    kappa [V] f32; valid [V] bool; pack [V] int32 exact packed bin
+    (ops/voxel_join.py layout); stats [V, 16] join table
+    (num | mean | cov-flat | pad) with zeroed invalid rows.
     """
 
     key: jnp.ndarray
@@ -95,6 +99,8 @@ class VoxelMap(NamedTuple):
     cov: jnp.ndarray
     kappa: jnp.ndarray
     valid: jnp.ndarray
+    pack: jnp.ndarray
+    stats: jnp.ndarray
 
     @property
     def capacity(self) -> int:
@@ -143,7 +149,9 @@ def build_voxel_map(
     psum = jnp.zeros((capacity + 1, 3), xyz.dtype).at[seg_id].add(xyz_s * w[:, None])
     csum = jnp.zeros((capacity + 1, 3, 3), covs.dtype).at[seg_id].add(cov_s * w[:, None, None])
     vkey = jnp.full((capacity + 1,), _INVALID_KEY, jnp.int32).at[seg_id].min(key_s)
-    vcoord = jnp.zeros((capacity + 1, 3), jnp.int32).at[seg_id].max(
+    # init must be INT32_MIN: a zero init would clamp negative (uniform)
+    # coordinates and corrupt the table
+    vcoord = jnp.full((capacity + 1, 3), -(2**31 - 1), jnp.int32).at[seg_id].max(
         jnp.where(sel_s[:, None], coord_s, -(2**31 - 1))
     )
 
@@ -161,14 +169,28 @@ def build_voxel_map(
     # rot_vgicp_impl.hpp:258) but is exposed for parity.
     kappa = jnp.where(valid, _kappa_from_rbar(r_bar), 0.0)
 
+    vcoord_final = vcoord[:capacity]
+    if polar_res is not None:
+        pack = pack_polar(vcoord_final)
+    else:
+        pack = pack_uniform(vcoord_final)
+    pack = jnp.where(valid, pack, INVALID_PACK)
+    stats = jnp.concatenate(
+        [num[:, None], mean, cov.reshape(capacity, 9), jnp.zeros((capacity, 3), mean.dtype)],
+        axis=-1,
+    )
+    stats = jnp.where(valid[:, None], stats, 0.0)  # matched invalid rows add 0
+
     return VoxelMap(
         key=jnp.where(valid, vkey[:capacity], _INVALID_KEY),
-        coord=vcoord[:capacity],
+        coord=vcoord_final,
         num_points=num,
         mean=mean,
         cov=cov,
         kappa=kappa,
         valid=valid,
+        pack=pack,
+        stats=stats,
     )
 
 
@@ -198,4 +220,23 @@ def lookup(
     num = jnp.where(found, vmap.num_points[slot], 0.0)
     mean = jnp.where(found[..., None], vmap.mean[slot], 0.0)
     cov = jnp.where(found[..., None, None], vmap.cov[slot], 0.0)
+    return found, num, mean, cov
+
+
+def lookup_join(
+    vmap: VoxelMap, coord: jnp.ndarray, polar: bool
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """MXU one-hot-join lookup (ops/voxel_join.py): exact packed-bin
+    equality turned into a matmul gather — the production binding path
+    (the searchsorted `lookup` above is the reference-shaped fallback,
+    ~100x slower on TPU at scan scale).
+
+    coord [N, 3] int32 -> (found [N], num [N], mean [N, 3], cov [N, 3, 3]).
+    """
+    pack = pack_polar(coord) if polar else pack_uniform(coord)
+    out = voxel_join(pack, vmap.pack, vmap.stats)  # [N, 16]
+    num = out[..., 0]
+    found = num > 0.0
+    mean = out[..., 1:4]
+    cov = out[..., 4:13].reshape(*coord.shape[:-1], 3, 3)
     return found, num, mean, cov

@@ -16,6 +16,7 @@ from .io import (
     write_tum,
 )
 from .metrics import ATEResult, associate_by_time, ate, rpe, umeyama_alignment
+from .profiling import StageTimers, device_trace
 from .slam import SlamSystem, infer_rel_time, infer_rings
 
 __all__ = [
@@ -33,6 +34,8 @@ __all__ = [
     "rpe",
     "umeyama_alignment",
     "SlamSystem",
+    "StageTimers",
+    "device_trace",
     "infer_rel_time",
     "infer_rings",
 ]

@@ -35,6 +35,7 @@ from ..prior import association as prior_assoc
 from ..prior import ground as prior_ground
 from ..prior import vehicle as prior_vehicle
 from . import io as rio
+from .profiling import StageTimers
 
 
 def infer_rings(xyz: np.ndarray, n_scan: int, fov_up_deg: float = 15.0, fov_down_deg: float = -25.0) -> np.ndarray:
@@ -83,6 +84,10 @@ class SlamSystem:
         # whole scan period.
         self._epoch: Optional[float] = None
 
+        # per-stage wall-clock metrics (the reference's solver printf
+        # timers, lidarOdometry.cpp:476-498, made structured)
+        self.timers = StageTimers()
+
         # trajectory logs (host side)
         self.times: List[float] = []
         self.front_positions: List[np.ndarray] = []
@@ -90,13 +95,24 @@ class SlamSystem:
         self.mapped_positions: List[np.ndarray] = []
         self.mapped_quats: List[np.ndarray] = []
 
-        self._project = jax.jit(
-            lambda scan: project_scan(
-                scan, cfg.sensor.n_scan, cfg.sensor.horizon_scan,
-                cfg.sensor.lidar_min_range, cfg.sensor.lidar_max_range,
-                cfg.sensor.downsample_rate,
+        if cfg.sensor.deskew_enabled:
+            # rotation-only deskew from the last odometry increment
+            # (deskewCloudInfo/deskewPoint, imageProjection.cpp:266-396)
+            self._project = jax.jit(
+                lambda scan, rpy, diff: project_scan(
+                    scan, cfg.sensor.n_scan, cfg.sensor.horizon_scan,
+                    cfg.sensor.lidar_min_range, cfg.sensor.lidar_max_range,
+                    cfg.sensor.downsample_rate, deskew_rpy=rpy, odom_time_diff=diff,
+                )
             )
-        )
+        else:
+            self._project = jax.jit(
+                lambda scan: project_scan(
+                    scan, cfg.sensor.n_scan, cfg.sensor.horizon_scan,
+                    cfg.sensor.lidar_min_range, cfg.sensor.lidar_max_range,
+                    cfg.sensor.downsample_rate,
+                )
+            )
         self._extract = jax.jit(
             lambda ring: feats.extract_features(
                 ring, cfg.features.edge_threshold, cfg.features.surf_threshold,
@@ -154,16 +170,25 @@ class SlamSystem:
         )
         self._last_stamp = stamp
 
-        scan = self._make_raw_scan(points, ring, rel_time)
-        ring_img = self._project(scan)
-        fc = self._extract(ring_img)
-        feat = concat_clouds(fc.corners, fc.surfaces, cfg.static.max_feature_points)
+        with self.timers.stage("ingest"):
+            scan = self._make_raw_scan(points, ring, rel_time)
+        with self.timers.stage("project+features"):
+            if cfg.sensor.deskew_enabled:
+                step_rpy = jnp.stack(so3.matrix_to_rpy(self.odom_state.step_rot))
+                ring_img = self._project(
+                    scan, step_rpy, jnp.asarray(interval, jnp.float32)
+                )
+            else:
+                ring_img = self._project(scan)
+            fc = self._extract(ring_img)
+            feat = concat_clouds(fc.corners, fc.surfaces, cfg.static.max_feature_points)
 
         # front-end odometry
-        self.odom_state, odom_out = odometry.scan_step(
-            self.odom_state, feat.xyz, feat.mask, jnp.asarray(interval, feat.xyz.dtype),
-            cfg.registration, cfg.static.max_voxels, cfg.registration.k_correspondences,
-        )
+        with self.timers.stage("frontend", sync=lambda: odom_out.pose_trans):
+            self.odom_state, odom_out = odometry.scan_step(
+                self.odom_state, feat.xyz, feat.mask, jnp.asarray(interval, feat.xyz.dtype),
+                cfg.registration, cfg.static.max_voxels, cfg.registration.k_correspondences,
+            )
         front_rot = odom_out.pose_rot
         front_trans = odom_out.pose_trans
 
@@ -186,10 +211,11 @@ class SlamSystem:
             sc_cloud = (
                 raw_cloud if cfg.loop.sc_input_type == "scan_raw" else fc.surfaces
             )
-            self.backend_state, map_out = backend.backend_step(
-                self.backend_state, fc.corners, fc.surfaces, sc_cloud,
-                front_rot, front_trans, jnp.asarray(True), jnp.asarray(stamp), cfg,
-            )
+            with self.timers.stage("backend", sync=lambda: map_out.trans):
+                self.backend_state, map_out = backend.backend_step(
+                    self.backend_state, fc.corners, fc.surfaces, sc_cloud,
+                    front_rot, front_trans, jnp.asarray(True), jnp.asarray(stamp), cfg,
+                )
             self.fusion_state = fusion.on_mapping_odometry(
                 self.fusion_state, map_out.rot, map_out.trans, front_rot, front_trans
             )
@@ -202,8 +228,9 @@ class SlamSystem:
         # loop closure at loopClosureFrequency (1 Hz default)
         if cfg.loop.enable and stamp - self._last_loop_time >= 1.0 / cfg.loop.frequency_hz:
             self._last_loop_time = stamp
-            self.backend_state, closed = backend.loop_closure_step(self.backend_state, cfg)
-            out["loop_closed"] = bool(closed)
+            with self.timers.stage("loop_closure"):
+                self.backend_state, closed = backend.loop_closure_step(self.backend_state, cfg)
+                out["loop_closed"] = bool(closed)
 
         # prior pipeline at priorFactorFrequency
         if (
@@ -212,7 +239,8 @@ class SlamSystem:
             and stamp - self._last_prior_time >= 1.0 / cfg.prior.frequency_hz
         ):
             self._last_prior_time = stamp
-            self._run_prior_cycle()
+            with self.timers.stage("prior"):
+                self._run_prior_cycle()
 
         self.times.append(stamp)
         self.front_positions.append(out["front_trans"])

@@ -209,3 +209,64 @@ class TestInferRings:
         pts = np.array([[10.0, 0, -5.0], [10.0, 0, 0.0], [10.0, 0, 2.6]], np.float32)
         rings = infer_rings(pts, 16)
         assert rings[0] > rings[1] > rings[2]
+
+
+class TestProfiling:
+    def test_stage_timers(self):
+        from rolo_tpu.runtime.profiling import StageTimers
+
+        t = StageTimers()
+        with t.stage("a"):
+            pass
+        t.record("b", 0.5)
+        t.record("b", 1.5)
+        s = t.summary()
+        assert s["b"]["count"] == 2
+        assert abs(s["b"]["mean_ms"] - 1000.0) < 1e-6
+        assert "a" in t.report() and "b" in t.report()
+
+    def test_slam_records_stages(self):
+        slam = SlamSystem(SLAM_CFG)
+        pts = _synthetic_scan(np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
+        slam.process_scan(pts, stamp=0.0)
+        s = slam.timers.summary()
+        assert "frontend" in s and "project+features" in s
+        assert s["frontend"]["count"] == 1
+
+
+class TestViz:
+    def test_export_run(self, tmp_path):
+        from rolo_tpu.runtime import viz
+
+        slam = SlamSystem(SLAM_CFG)
+        for i in range(3):
+            pts = _synthetic_scan(np.eye(3, dtype=np.float32), np.array([i * 1.0, 0, 0], np.float32))
+            slam.process_scan(pts, stamp=0.1 * i)
+        out = str(tmp_path / "viz")
+        viz.export_run(slam, out)
+        assert os.path.exists(os.path.join(out, "global_map.ply"))
+        header = open(os.path.join(out, "global_map.ply")).read(200)
+        assert header.startswith("ply")
+
+    def test_write_ply_roundtrip_count(self, tmp_path):
+        from rolo_tpu.runtime.viz import write_ply
+
+        pts = np.random.default_rng(0).normal(size=(42, 3))
+        p = str(tmp_path / "x.ply")
+        write_ply(p, pts)
+        text = open(p).read()
+        assert "element vertex 42" in text
+
+
+class TestDeskew:
+    def test_deskew_enabled_runs(self):
+        import dataclasses
+
+        cfg = SLAM_CFG.replace(
+            sensor=dataclasses.replace(SLAM_CFG.sensor, deskew_enabled=True)
+        )
+        slam = SlamSystem(cfg)
+        for i in range(3):
+            pts = _synthetic_scan(np.eye(3, dtype=np.float32), np.array([0.5 * i, 0, 0], np.float32))
+            out = slam.process_scan(pts, stamp=0.1 * i)
+        assert np.all(np.isfinite(out["front_trans"]))

@@ -50,23 +50,32 @@ def main():
     zeros = jnp.zeros((batch, 3), jnp.float32)
     dt = jnp.full((batch,), 0.1, jnp.float32)
 
-    fn = jax.jit(
-        jax.vmap(
-            lambda s, sm, t, tm, g, l, d: register_scan_pair(
-                s, sm, t, tm, g, l, d, d, cfg, 8192, 20
-            )
+    one = jax.vmap(
+        lambda s, sm, t, tm, g, l, d: register_scan_pair(
+            s, sm, t, tm, g, l, d, d, cfg, 8192, 20
         )
     )
 
-    # warmup/compile
-    res = fn(src, masks, tgt, masks, zeros, zeros, dt)
-    jax.block_until_ready(res)
+    # Device-resident measurement: chain `iters` dependent batches inside
+    # one program (a production deployment keeps the loop on device; a
+    # per-call host round-trip would bill dispatch/tunnel latency, ~40%
+    # here, against the chip).
+    iters = 10
 
-    iters = 5
+    @jax.jit
+    def chained(src, masks, tgt, tmasks, dt):
+        def body(carry, _):
+            g = carry
+            res = one(src, masks, tgt, tmasks, g, jnp.zeros_like(g), dt)
+            return res.trans * 1e-6, res.rot_error  # dependency chain
+        _, errs = jax.lax.scan(body, jnp.zeros((batch, 3)), None, length=iters)
+        return errs
+
+    # warmup/compile
+    jax.block_until_ready(chained(src, masks, tgt, masks, dt))
+
     t0 = time.perf_counter()
-    for _ in range(iters):
-        res = fn(src, masks, tgt, masks, zeros, zeros, dt)
-    jax.block_until_ready(res)
+    jax.block_until_ready(chained(src, masks, tgt, masks, dt))
     elapsed = time.perf_counter() - t0
 
     regs_per_s = batch * iters / elapsed

@@ -54,7 +54,14 @@ def pack_uniform(coord: jnp.ndarray) -> jnp.ndarray:
 def _join_kernel(src_ref, pack_ref, stats_ref, out_ref):
     # src [BN, 1] int32; pack [1, V] int32; stats [V, S] f32; out [BN, S]
     eq = (src_ref[:] == pack_ref[:]).astype(jnp.float32)  # [BN, V]
-    out_ref[:] = jnp.dot(eq, stats_ref[:], preferred_element_type=jnp.float32)
+    # HIGHEST precision is required: the default MXU path truncates the
+    # f32 stats operand to bf16, quantizing voxel means by ~0.4% — enough
+    # to keep the LM solvers from ever meeting their 5e-4 thresholds.
+    out_ref[:] = jnp.dot(
+        eq, stats_ref[:],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("block_n",))
@@ -91,7 +98,11 @@ def _join_jnp(src_pack: jnp.ndarray, table_pack: jnp.ndarray, table_stats: jnp.n
 
     def one(sp):
         eq = (sp[:, None] == table_pack[None, :]).astype(jnp.float32)
-        return jnp.dot(eq, table_stats, preferred_element_type=jnp.float32)
+        return jnp.dot(
+            eq, table_stats,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
     out = jax.lax.map(one, src.reshape(-1, chunk))
     return out.reshape(-1, table_stats.shape[-1])[:n]

@@ -32,7 +32,7 @@ from ..config import RegistrationConfig
 from ..geometry import so3 as _so3
 from ..geometry.se3 import SE3
 from ..registration import gicp, lm
-from ..voxel.knn import estimate_covariances
+from ..voxel.knn import estimate_cov6
 from ..voxel.voxelmap import build_voxel_map
 
 
@@ -43,7 +43,7 @@ class OdometryState(NamedTuple):
     pose_trans: jnp.ndarray  # [3]
     prev_xyz: jnp.ndarray  # [N,3] previous feature cloud (featureOld)
     prev_mask: jnp.ndarray  # [N]
-    prev_cov: jnp.ndarray  # [N,3,3]
+    prev_cov: jnp.ndarray  # [6,N] sym3 planes
     step_rot: jnp.ndarray  # [3,3] last step transform (lidarMappingAffine)
     step_trans: jnp.ndarray  # [3]
     trans_old: jnp.ndarray  # [3] TranslationOld
@@ -67,7 +67,9 @@ def init_state(capacity: int, dtype=jnp.float32) -> OdometryState:
         pose_trans=jnp.zeros(3, dtype=dtype),
         prev_xyz=jnp.zeros((capacity, 3), dtype=dtype),
         prev_mask=jnp.zeros((capacity,), dtype=bool),
-        prev_cov=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (capacity, 3, 3)),
+        prev_cov=jnp.broadcast_to(
+            jnp.asarray([1.0, 0, 0, 1.0, 0, 1.0], dtype)[:, None], (6, capacity)
+        ),
         step_rot=jnp.eye(3, dtype=dtype),
         step_trans=jnp.zeros(3, dtype=dtype),
         trans_old=jnp.zeros(3, dtype=dtype),
@@ -99,7 +101,7 @@ def scan_step(
     """One front-end odometry step. new_xyz/new_mask: this scan's feature
     cloud (corners + surfaces, lidarOdometry.cpp:524)."""
     dtype = new_xyz.dtype
-    new_cov = estimate_covariances(new_xyz, new_mask, k=k, method=cfg.regularization)
+    new_cov = estimate_cov6(new_xyz, new_mask, k=k, method=cfg.regularization)
 
     # --- registration against the previous scan ------------------------
     guess = forward_predict(state.step_trans, state.last_interval, interval)

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import RegistrationConfig
-from ..voxel.knn import estimate_covariances
+from ..voxel.knn import estimate_cov6
 from ..voxel.voxelmap import build_voxel_map
 from . import gicp, lm
 
@@ -69,8 +69,8 @@ def register_scan_pair(
     (lidarOdometry.cpp:500: Translation += Reg_translation).
     """
     dtype = src_xyz.dtype
-    src_cov = estimate_covariances(src_xyz, src_mask, k=k, method=cfg.regularization)
-    tgt_cov = estimate_covariances(tgt_xyz, tgt_mask, k=k, method=cfg.regularization)
+    src_cov = estimate_cov6(src_xyz, src_mask, k=k, method=cfg.regularization)
+    tgt_cov = estimate_cov6(tgt_xyz, tgt_mask, k=k, method=cfg.regularization)
 
     polar_res = (
         jnp.asarray(cfg.polar_resolution, dtype) if cfg.voxel_type == "polar" else None
@@ -148,8 +148,8 @@ def register_se3(
     """Full SE(3) VGICP alignment (optimizer type LevenbergMarquardt,
     lsq_registration_impl.hpp:225-270) — used for loop-closure submap
     verification and as a general-purpose registration primitive."""
-    src_cov = estimate_covariances(src_xyz, src_mask, k=k, method=cfg.regularization)
-    tgt_cov = estimate_covariances(tgt_xyz, tgt_mask, k=k, method=cfg.regularization)
+    src_cov = estimate_cov6(src_xyz, src_mask, k=k, method=cfg.regularization)
+    tgt_cov = estimate_cov6(tgt_xyz, tgt_mask, k=k, method=cfg.regularization)
     polar_res = (
         jnp.asarray(cfg.polar_resolution, src_xyz.dtype)
         if cfg.voxel_type == "polar"

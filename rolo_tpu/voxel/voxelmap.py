@@ -2,11 +2,20 @@
 reference's pointer-based spatial hash
 (/root/reference/include/rot_gicp/gicp/vmp_voxel.hpp:157-243).
 
-Design: instead of an unordered_map of heap voxels, a voxel map is a sorted
-array of (hash-key, integer-coord, stats) rows built with one sort + one
-segment-reduce — the scatter-free pattern TPUs like. Lookup is a vectorized
-binary search (searchsorted) + coordinate verification, so thousands of
-queries per step run as one fused gather.
+Design: a voxel map is a sorted array of (packed-bin, stat planes) rows.
+The build is completely scatter-free — TPU scatters serialize, and the
+first port's scatter-add build cost ~43 ms per 16-scan batch:
+
+  1. pack each point's bin into one int32 (exact, ops/voxel_join.py),
+  2. sort the packs; runs of equal pack are voxels,
+  3. unique packs -> table slots via one vectorized binary search,
+  4. per-voxel sums (count, position, covariance) via ONE MXU keyed
+     matmul (keyed_matmul: out[s,v] = sum of values[s,n] where
+     pack[n] == table_pack[v]).
+
+Lookups are the same keyed matmul in the other direction. Stats live in
+the SoA layout [S, V] (lanes = V), so nothing pays TPU's (8, 128) tile
+padding on 3-wide minor dims.
 
 Supports both coordinate systems of the reference:
   - POLAR (theta, phi, r) bins — the "spherical alignment" structure used by
@@ -25,20 +34,33 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
 
-from ..ops.voxel_join import INVALID_PACK, pack_polar, pack_uniform, voxel_join
-
-_INVALID_KEY = jnp.int32(0x7FFFFFFF)
-# Number of consecutive slots probed on lookup to survive hash collisions.
-_PROBE = 4
+from ..ops import sym3
+from ..ops.voxel_join import (
+    INVALID_PACK,
+    keyed_matmul,
+    pack_polar,
+    pack_uniform,
+    unpack_polar,
+    unpack_uniform,
+)
 
 
 def polar_coord(xyz: jnp.ndarray, polar_res: jnp.ndarray) -> jnp.ndarray:
     """[..., 3] point -> [..., 3] int32 (theta, phi, r) bin (vmp_voxel.hpp:208-211)."""
-    r = jnp.linalg.norm(xyz, axis=-1)
-    theta = jnp.arctan2(xyz[..., 1], xyz[..., 0]) + math.pi
-    phi = jnp.arccos(jnp.clip(xyz[..., 2] / jnp.maximum(r, 1e-12), -1.0, 1.0))
-    sph = jnp.stack([theta, phi, r], axis=-1)
-    return jnp.floor(sph / polar_res).astype(jnp.int32)
+    t, p, r = polar_bins(xyz[..., 0], xyz[..., 1], xyz[..., 2], polar_res)
+    return jnp.stack([t, p, r], axis=-1)
+
+
+def polar_bins(x, y, z, polar_res):
+    """Componentwise polar binning: (x, y, z) arrays -> (theta, phi, r)
+    int32 bin arrays of the same shape (SoA twin of polar_coord)."""
+    r = jnp.sqrt(x * x + y * y + z * z)
+    theta = jnp.arctan2(y, x) + math.pi
+    phi = jnp.arccos(jnp.clip(z / jnp.maximum(r, 1e-12), -1.0, 1.0))
+    tb = jnp.floor(theta / polar_res[0]).astype(jnp.int32)
+    pb = jnp.floor(phi / polar_res[1]).astype(jnp.int32)
+    rb = jnp.floor(r / polar_res[2]).astype(jnp.int32)
+    return tb, pb, rb
 
 
 def polar_origin(coord: jnp.ndarray, polar_res: jnp.ndarray) -> jnp.ndarray:
@@ -59,13 +81,20 @@ def uniform_coord(xyz: jnp.ndarray, resolution: float) -> jnp.ndarray:
     return jnp.floor(xyz / resolution - 0.5).astype(jnp.int32)
 
 
-def hash_coord(coord: jnp.ndarray, salt: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """[..., 3] int32 -> int32 hash in [0, 2^30), strictly below _INVALID_KEY.
+def uniform_bins(x, y, z, resolution: float):
+    """Componentwise uniform binning (SoA twin of uniform_coord)."""
+    def f(a):
+        return jnp.floor(a / resolution - 0.5).astype(jnp.int32)
 
-    Murmur3-style finalizer in uint32 arithmetic: the classic
-    (x*p1 ^ y*p2 ^ z*p3) XOR hash collides heavily for small coordinate
-    ranges, which would fragment voxel segments after the sort.
-    """
+    return f(x), f(y), f(z)
+
+
+def hash_coord(coord: jnp.ndarray, salt: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """[..., 3] int32 -> int32 hash in [0, 2^30) (Murmur3-style finalizer).
+
+    Not used by the voxel map itself anymore (bins pack exactly into one
+    int32); kept for coarse grouping where coordinates exceed the packed
+    range (pointcloud.features voxel downsample)."""
     c = coord.astype(jnp.uint32)
     h = (
         c[..., 0] * jnp.uint32(0x9E3779B1)
@@ -83,28 +112,29 @@ def hash_coord(coord: jnp.ndarray, salt: Optional[jnp.ndarray] = None) -> jnp.nd
 
 
 class VoxelMap(NamedTuple):
-    """Sorted fixed-capacity voxel table.
+    """Sorted fixed-capacity voxel table, SoA layout.
 
-    key [V] int32 sorted ascending (invalid slots = 0x7FFFFFFF);
-    coord [V, 3] int32; num_points [V] f32; mean [V, 3]; cov [V, 3, 3];
-    kappa [V] f32; valid [V] bool; pack [V] int32 exact packed bin
-    (ops/voxel_join.py layout); stats [V, 16] join table
-    (num | mean | cov-flat | pad) with zeroed invalid rows.
+    pack [V] int32 sorted ascending, the exact packed bin per slot
+    (INVALID_PACK for empty slots); stats [10, V] join-table planes
+    (num, mean x/y/z, cov6) with zeroed invalid columns; num_points [V];
+    mean [3, V]; cov6 [6, V]; kappa [V]; valid [V] bool; polar flag.
     """
 
-    key: jnp.ndarray
-    coord: jnp.ndarray
-    num_points: jnp.ndarray
-    mean: jnp.ndarray
-    cov: jnp.ndarray
-    kappa: jnp.ndarray
-    valid: jnp.ndarray
     pack: jnp.ndarray
     stats: jnp.ndarray
+    num_points: jnp.ndarray
+    mean: jnp.ndarray
+    cov6: jnp.ndarray
+    kappa: jnp.ndarray
+    valid: jnp.ndarray
 
     @property
     def capacity(self) -> int:
-        return self.key.shape[0]
+        return self.pack.shape[0]
+
+    def coord(self, polar: bool) -> jnp.ndarray:
+        """[V, 3] integer bin coordinates recovered from the packs."""
+        return unpack_polar(self.pack) if polar else unpack_uniform(self.pack)
 
 
 def _kappa_from_rbar(r_bar: jnp.ndarray) -> jnp.ndarray:
@@ -117,126 +147,101 @@ def _kappa_from_rbar(r_bar: jnp.ndarray) -> jnp.ndarray:
 
 def build_voxel_map(
     xyz: jnp.ndarray,
-    covs: jnp.ndarray,
+    cov6: jnp.ndarray,
     mask: jnp.ndarray,
     capacity: int,
     polar_res: Optional[jnp.ndarray] = None,
     resolution: float = 1.0,
 ) -> VoxelMap:
     """Build a voxel map from a padded cloud (create_voxelmap,
-    vmp_voxel.hpp:167-197). polar_res given -> POLAR bins, else UNIFORM."""
+    vmp_voxel.hpp:167-197). polar_res given -> POLAR bins, else UNIFORM.
+
+    xyz [N, 3]; cov6 [6, N] (sym3 planes); mask [N].
+    """
     if polar_res is not None:
         coord = polar_coord(xyz, polar_res)
+        pack = pack_polar(coord)
     else:
         coord = uniform_coord(xyz, resolution)
-    h = hash_coord(coord)
-    sort_key = jnp.where(mask, h, _INVALID_KEY)
+        pack = pack_uniform(coord)
+    pack = jnp.where(mask, pack, INVALID_PACK)
 
-    order = jnp.argsort(sort_key)
-    key_s = sort_key[order]
-    coord_s = coord[order]
-    xyz_s = xyz[order]
-    cov_s = covs[order]
-    sel_s = mask[order]
-
-    same = jnp.all(coord_s[1:] == coord_s[:-1], axis=1) & sel_s[1:] & sel_s[:-1]
-    new_seg = jnp.concatenate([jnp.ones((1,), bool), ~same])
-    seg_id = jnp.cumsum(new_seg) - 1
-    seg_id = jnp.where(sel_s, jnp.minimum(seg_id, capacity), capacity)
-
-    w = sel_s.astype(jnp.float32)
-    num = jnp.zeros((capacity + 1,), jnp.float32).at[seg_id].add(w)
-    psum = jnp.zeros((capacity + 1, 3), xyz.dtype).at[seg_id].add(xyz_s * w[:, None])
-    csum = jnp.zeros((capacity + 1, 3, 3), covs.dtype).at[seg_id].add(cov_s * w[:, None, None])
-    vkey = jnp.full((capacity + 1,), _INVALID_KEY, jnp.int32).at[seg_id].min(key_s)
-    # init must be INT32_MIN: a zero init would clamp negative (uniform)
-    # coordinates and corrupt the table
-    vcoord = jnp.full((capacity + 1, 3), -(2**31 - 1), jnp.int32).at[seg_id].max(
-        jnp.where(sel_s[:, None], coord_s, -(2**31 - 1))
+    # unique packs -> slots: sort, mark run starts, binary-search the v-th
+    # start. No scatters.
+    sp = jnp.sort(pack)
+    is_valid = sp != INVALID_PACK
+    new_seg = is_valid & jnp.concatenate(
+        [jnp.ones((1,), bool), sp[1:] != sp[:-1]]
     )
+    n_seg = jnp.sum(new_seg)
+    seg_id = jnp.where(is_valid, jnp.cumsum(new_seg) - 1, jnp.int32(2**30))
+    slot = jnp.arange(capacity, dtype=jnp.int32)
+    pos = jnp.clip(jnp.searchsorted(seg_id, slot), 0, sp.shape[0] - 1)
+    valid = slot < n_seg
+    table_pack = jnp.where(valid, sp[pos], INVALID_PACK)
 
-    num = num[:capacity]
-    valid = num > 0
+    # per-voxel sums as one MXU keyed matmul (segment-reduce)
+    w = mask.astype(xyz.dtype)
+    data = jnp.concatenate(
+        [w[None, :], xyz.T * w[None, :], cov6 * w[None, :]], axis=0
+    )  # [10, N]
+    sums = keyed_matmul(data, pack, table_pack)  # [10, V]
+
+    num = sums[0]
     denom = jnp.maximum(num, 1.0)
-    mean = psum[:capacity] / denom[:, None]
-    cov = csum[:capacity] / denom[:, None, None]
-    r_bar = jnp.linalg.norm(psum[:capacity], axis=-1) / denom
+    mean = sums[1:4] / denom[None, :]
+    cov = sums[4:10] / denom[None, :]
+    r_bar = jnp.sqrt(jnp.sum(sums[1:4] ** 2, axis=0)) / denom
     # NOTE(reference parity): AdditiveVmfVoxel::append recomputes
     # r_bar = |running mean_dir sum| / n each append and finalize() divides
     # once more by n; the value kept is |sum p| / n (positions, not unit
-    # dirs). kappa is computed from that (vmp_voxel.hpp:97,104-106). kappa is
-    # not used by any solver path (weight is sqrt(num_points),
+    # dirs). kappa is computed from that (vmp_voxel.hpp:97,104-106). kappa
+    # is not used by any solver path (weight is sqrt(num_points),
     # rot_vgicp_impl.hpp:258) but is exposed for parity.
     kappa = jnp.where(valid, _kappa_from_rbar(r_bar), 0.0)
 
-    vcoord_final = vcoord[:capacity]
-    if polar_res is not None:
-        pack = pack_polar(vcoord_final)
-    else:
-        pack = pack_uniform(vcoord_final)
-    pack = jnp.where(valid, pack, INVALID_PACK)
-    stats = jnp.concatenate(
-        [num[:, None], mean, cov.reshape(capacity, 9), jnp.zeros((capacity, 3), mean.dtype)],
-        axis=-1,
-    )
-    stats = jnp.where(valid[:, None], stats, 0.0)  # matched invalid rows add 0
-
+    stats = jnp.concatenate([num[None, :], mean, cov], axis=0)
+    stats = jnp.where(valid[None, :], stats, 0.0)
     return VoxelMap(
-        key=jnp.where(valid, vkey[:capacity], _INVALID_KEY),
-        coord=vcoord_final,
-        num_points=num,
-        mean=mean,
-        cov=cov,
+        pack=table_pack,
+        stats=stats,
+        num_points=jnp.where(valid, num, 0.0),
+        mean=jnp.where(valid[None, :], mean, 0.0),
+        cov6=jnp.where(valid[None, :], cov, 0.0),
         kappa=kappa,
         valid=valid,
-        pack=pack,
-        stats=stats,
     )
 
 
 def lookup(
-    vmap: VoxelMap, coord: jnp.ndarray
+    vmap: VoxelMap, coord: jnp.ndarray, polar: bool = True
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Vectorized voxel lookup (lookup_voxel, vmp_voxel.hpp:226-233).
+    """Reference-shaped per-query lookup (lookup_voxel,
+    vmp_voxel.hpp:226-233): binary search on the sorted pack table. Exact
+    (packs are unique); used by tests as the oracle for the join path.
 
-    coord [N, 3] int32 -> (found [N] bool, num_points [N], mean [N, 3],
-    cov [N, 3, 3]). Probes _PROBE consecutive slots after the binary search
-    to tolerate hash collisions.
+    coord [N, 3] int32 -> (found [N], num [N], mean [N, 3], cov [N, 3, 3]).
     """
-    h = hash_coord(coord)
-    base = jnp.searchsorted(vmap.key, h)
-    cap = vmap.capacity
-    found = jnp.zeros(coord.shape[:-1], bool)
-    slot = jnp.zeros(coord.shape[:-1], jnp.int32)
-    for p in range(_PROBE):
-        idx = jnp.minimum(base + p, cap - 1)
-        hit = (
-            (vmap.key[idx] == h)
-            & jnp.all(vmap.coord[idx] == coord, axis=-1)
-            & vmap.valid[idx]
-        )
-        slot = jnp.where(hit & ~found, idx, slot)
-        found = found | hit
-    num = jnp.where(found, vmap.num_points[slot], 0.0)
-    mean = jnp.where(found[..., None], vmap.mean[slot], 0.0)
-    cov = jnp.where(found[..., None, None], vmap.cov[slot], 0.0)
+    q = pack_polar(coord) if polar else pack_uniform(coord)
+    idx = jnp.clip(jnp.searchsorted(vmap.pack, q), 0, vmap.capacity - 1)
+    found = (vmap.pack[idx] == q) & vmap.valid[idx] & (q != INVALID_PACK)
+    num = jnp.where(found, vmap.num_points[idx], 0.0)
+    mean = jnp.where(found[..., None], vmap.mean[:, idx].T, 0.0)
+    cov = jnp.where(
+        found[..., None, None], sym3.to_mat(vmap.cov6)[idx], 0.0
+    )
     return found, num, mean, cov
 
 
 def lookup_join(
-    vmap: VoxelMap, coord: jnp.ndarray, polar: bool
+    vmap: VoxelMap, pack: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """MXU one-hot-join lookup (ops/voxel_join.py): exact packed-bin
-    equality turned into a matmul gather — the production binding path
-    (the searchsorted `lookup` above is the reference-shaped fallback,
-    ~100x slower on TPU at scan scale).
+    """MXU keyed-matmul lookup — the production binding path.
 
-    coord [N, 3] int32 -> (found [N], num [N], mean [N, 3], cov [N, 3, 3]).
+    pack [M] int32 queries -> SoA results:
+    (found [M], num [M], mean [3, M], cov6 [6, M]).
     """
-    pack = pack_polar(coord) if polar else pack_uniform(coord)
-    out = voxel_join(pack, vmap.pack, vmap.stats)  # [N, 16]
-    num = out[..., 0]
+    out = keyed_matmul(vmap.stats, vmap.pack, pack)  # [10, M]
+    num = out[0]
     found = num > 0.0
-    mean = out[..., 1:4]
-    cov = out[..., 4:13].reshape(*coord.shape[:-1], 3, 3)
-    return found, num, mean, cov
+    return found, num, out[1:4], out[4:10]

@@ -10,7 +10,7 @@ from rolo_tpu.geometry import so3
 from rolo_tpu.config import RegistrationConfig
 from rolo_tpu.registration import gicp, lm
 from rolo_tpu.registration.rotgicp import register_scan_pair, register_se3
-from rolo_tpu.voxel.knn import estimate_covariances
+from rolo_tpu.voxel.knn import estimate_cov6
 from rolo_tpu.voxel.voxelmap import build_voxel_map
 
 RNG = np.random.default_rng(7)
@@ -54,7 +54,7 @@ class TestLinearize:
     def setup_method(self):
         pts = make_scene(1024)
         self.xyz, self.mask = pad(pts, 1024)
-        self.covs = estimate_covariances(self.xyz, self.mask, k=10)
+        self.covs = estimate_cov6(self.xyz, self.mask, k=10)
         polar = jnp.asarray([0.175, 0.175, 2.0], jnp.float32)
         vm = build_voxel_map(self.xyz, self.covs, self.mask, 2048, polar_res=polar)
         self.ctx = gicp.make_context(self.xyz, self.mask, self.covs, vm, polar_res=polar)

@@ -186,6 +186,45 @@ def lm_register_se3(
     return LMResult(rot, trans, h, err, it, conv, failed)
 
 
+def gn_register_se3(
+    ctx: GICPContext,
+    rot0: jnp.ndarray,
+    trans0: jnp.ndarray,
+    max_outer: int = MAX_OUTER,
+    rot_eps: float = ROTATION_EPS,
+    trans_eps: float = TRANSFORM_EPS,
+) -> LMResult:
+    """Plain Gauss-Newton SE(3) registration (optimizer type GaussNewton,
+    step_gn, lsq_registration_impl.hpp:207-222): solve H d = -b and always
+    accept — no lambda damping, no accept/reject. Converges faster per
+    iteration than LM on well-conditioned problems; kept for parity with the
+    reference's LSQ_OPTIMIZER_TYPE enum (lsq_registration.hpp:13)."""
+
+    def small_delta(d_rot, d_trans):
+        return _rot_small(d_rot, rot_eps) & _trans_small(d_trans, trans_eps)
+
+    def cond(s):
+        it, _, _, conv, _, _ = s
+        return (it < max_outer) & ~conv
+
+    def body(s):
+        it, rot, trans, conv, _, _ = s
+        corr = gicp.update_correspondences(ctx, rot, trans)
+        y0, h, b = gicp.se3_linearize(ctx, corr, rot, trans)
+        d = solve_psd(h, -b)
+        dT = se3.exp(d)
+        rot = dT.rot @ rot
+        trans = dT.rot @ trans + dT.trans
+        return (it + 1, rot, trans, small_delta(dT.rot, dT.trans), h, y0)
+
+    state = (
+        0, rot0, trans0, jnp.array(False),
+        jnp.eye(6, dtype=rot0.dtype), jnp.asarray(0.0, rot0.dtype),
+    )
+    it, rot, trans, conv, h, err = jax.lax.while_loop(cond, body, state)
+    return LMResult(rot, trans, h, err, it, conv, jnp.array(False))
+
+
 class CTResult(NamedTuple):
     trans: jnp.ndarray  # [3] solved translation (the reference's t0)
     hessian: jnp.ndarray  # [6, 6]

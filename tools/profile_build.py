@@ -20,7 +20,7 @@ from rolo_tpu.voxel.voxelmap import build_voxel_map, polar_coord  # noqa: E402
 from rolo_tpu.voxel.knn import estimate_cov6  # noqa: E402
 
 
-def chain_time(name, fn, x, iters=20):
+def chain_time(name, fn, x, iters=8):
     """fn: x -> (scalar-ish output, perturbed x). Chained `iters` times."""
 
     @jax.jit
@@ -77,12 +77,6 @@ def main():
             out = jax.vmap(keyed_matmul)(data, pack0, tb)
             return x + out.sum() * 1e-12
         chain_time(f"keyed_matmul build [10,{n}]x[{cap}]", km_only, src)
-
-    # 4. covariance pass for scale
-    def cov_only(x):
-        c = cov_fn(x, mask)
-        return x + c.sum() * 1e-12
-    chain_time("estimate_cov6 (one cloud)", cov_only, src)
 
     # 5. searchsorted-gather lookup variant vs keyed_matmul lookup
     def ss_lookup(x):

@@ -20,8 +20,10 @@ from .mesh import (
     replicated,
     shard_batch,
 )
+from .spmd import register_scan_pair_spmd
 
 __all__ = [
+    "register_scan_pair_spmd",
     "ShardedRegistrationInputs",
     "odometry_batch",
     "prior_solve_batch",

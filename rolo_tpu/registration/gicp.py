@@ -227,6 +227,7 @@ def ct_linearize(
     interval_tn: jnp.ndarray,
     interval_tn_1: jnp.ndarray,
     ct_lambda: float,
+    n_corr_override: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Continuous-time translation linearization
     (t3_linearize, rot_vgicp_impl.hpp:498-607).
@@ -259,7 +260,12 @@ def ct_linearize(
     q = ctx.src_t + t[:, None]  # [3, N]
     e = corr.mean_b - q[None, :, :]
     ct = (init_guess + t) / interval_tn - last_t0 / interval_tn_1  # [3]
-    n_corr = jnp.maximum(jnp.sum(corr.weight > 0), 1.0)
+    # n_corr_override: global correspondence count when the point axis is
+    # sharded over devices (parallel/spmd.py psums the local counts).
+    if n_corr_override is None:
+        n_corr = jnp.maximum(jnp.sum(corr.weight > 0), 1.0)
+    else:
+        n_corr = n_corr_override
     lam = ct_lambda / n_corr
 
     me = sym3.matvec(corr.maha, e)
@@ -292,13 +298,17 @@ def ct_error(
     interval_tn: jnp.ndarray,
     interval_tn_1: jnp.ndarray,
     ct_lambda: float,
+    n_corr_override: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """compute_t_error (rot_vgicp_impl.hpp:609-658), with the corrected
     velocity-continuity sign (see ct_linearize)."""
     q = ctx.src_t + t[:, None]
     e = corr.mean_b - q[None, :, :]
     ct = (init_guess + t) / interval_tn - last_t0 / interval_tn_1
-    n_corr = jnp.maximum(jnp.sum(corr.weight > 0), 1.0)
+    if n_corr_override is None:
+        n_corr = jnp.maximum(jnp.sum(corr.weight > 0), 1.0)
+    else:
+        n_corr = n_corr_override
     lam = ct_lambda / n_corr
     ct_b = jnp.broadcast_to(ct[None, :, None], corr.mean_b.shape)
     return _wsum(corr.weight, sym3.quad(corr.maha, e)) + lam * _wsum(

@@ -99,10 +99,18 @@ def lm_register_rotation(
     rot_eps: float = ROTATION_EPS,
     trans_eps: float = TRANSFORM_EPS,
     init_lambda_factor: float = INIT_LAMBDA_FACTOR,
+    linearize_fn=None,
+    error_fn=None,
 ) -> LMResult:
     """Rotation registration: SO(3) LM over the rot-GICP objective
     (computeTransformation + rot_step_lm). Correspondences are re-bound at
-    every outer linearization, exactly like so3_linearize."""
+    every outer linearization, exactly like so3_linearize.
+
+    linearize_fn/error_fn override the objective reductions — the SPMD
+    point-sharded path (parallel/spmd.py) wraps the defaults with psums so
+    the same driver runs with the source cloud split across a mesh axis."""
+    linearize = linearize_fn if linearize_fn is not None else gicp.so3_linearize
+    error = error_fn if error_fn is not None else gicp.compute_error
 
     def outer_cond(s):
         it, _, _, lam, conv, failed, _, _ = s
@@ -111,14 +119,14 @@ def lm_register_rotation(
     def outer_body(s):
         it, rot, trans, lam, conv, failed, _, _ = s
         corr = gicp.update_correspondences(ctx, rot, trans)
-        y0, h, b = gicp.so3_linearize(ctx, corr, rot, trans)
+        y0, h, b = linearize(ctx, corr, rot, trans)
         lam = jnp.where(lam < 0, init_lambda_factor * jnp.max(jnp.abs(jnp.diag(h))), lam)
 
         def try_step(d):
             delta_rot = so3.exp(d)
             cand_rot = delta_rot @ rot
             cand_trans = delta_rot @ trans
-            yi = gicp.compute_error(ctx, corr, cand_rot, cand_trans)
+            yi = error(ctx, corr, cand_rot, cand_trans)
             return (cand_rot, cand_trans), delta_rot, yi
 
         cond, body = _lm_inner(
@@ -247,13 +255,20 @@ def lm_translation(
     max_inner: int = MAX_INNER,
     trans_eps: float = TRANSFORM_EPS,
     init_lambda_factor: float = INIT_LAMBDA_FACTOR,
+    ct_linearize_fn=None,
+    ct_error_fn=None,
 ) -> CTResult:
     """Continuous-time translation NLS (computeTranslation,
     lsq_registration_impl.hpp:54-80 + step_t_optimize :84-139).
 
     Reuses `corr` from the final rotation linearization — the reference
     never updates correspondences during this solve. Solves a 6-dof system
-    but retracts only the translational part of se3_exp(d) (:105-106)."""
+    but retracts only the translational part of se3_exp(d) (:105-106).
+
+    ct_linearize_fn/ct_error_fn override the objective reductions (psum
+    wrappers for the point-sharded SPMD path, parallel/spmd.py)."""
+    ct_lin = ct_linearize_fn if ct_linearize_fn is not None else gicp.ct_linearize
+    ct_err = ct_error_fn if ct_error_fn is not None else gicp.ct_error
     interval_tn = jnp.asarray(interval_tn, t0.dtype)
     interval_tn_1 = jnp.asarray(interval_tn_1, t0.dtype)
 
@@ -263,7 +278,7 @@ def lm_translation(
 
     def outer_body(s):
         it, t, lam, conv, failed, _, _ = s
-        y0, h, b = gicp.ct_linearize(
+        y0, h, b = ct_lin(
             ctx, corr, t, init_guess, last_t0, interval_tn, interval_tn_1, ct_lambda
         )
         lam = jnp.where(lam < 0, init_lambda_factor * jnp.max(jnp.abs(jnp.diag(h))), lam)
@@ -271,7 +286,7 @@ def lm_translation(
         def try_step(d):
             delta_t = se3.exp(d).trans
             cand = t + delta_t
-            yi = gicp.ct_error(
+            yi = ct_err(
                 ctx, corr, cand, init_guess, last_t0, interval_tn, interval_tn_1, ct_lambda
             )
             return (cand,), delta_t, yi
@@ -305,6 +320,8 @@ def lm_translation_rebind(
     max_inner: int = MAX_INNER,
     trans_eps: float = TRANSFORM_EPS,
     init_lambda_factor: float = INIT_LAMBDA_FACTOR,
+    ct_linearize_fn=None,
+    ct_error_fn=None,
 ) -> CTResult:
     """CT translation with correspondence rebinding between solve rounds.
 
@@ -324,6 +341,7 @@ def lm_translation_rebind(
             ctx, corr, t, init_guess, last_t0, interval_tn, interval_tn_1,
             ct_lambda, max_outer=max_outer, max_inner=max_inner,
             trans_eps=trans_eps, init_lambda_factor=init_lambda_factor,
+            ct_linearize_fn=ct_linearize_fn, ct_error_fn=ct_error_fn,
         )
 
     first = do_round(t0)

@@ -101,6 +101,8 @@ def estimate_cov6(
     method: str = PLANE,
     chunk: int = 512,
     selector: str = "moment",
+    cand_xyz: jnp.ndarray = None,
+    cand_mask: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Per-point regularized covariances from k-NN neighborhoods, SoA.
 
@@ -121,16 +123,24 @@ def estimate_cov6(
         than the exact path on TPU (151 ms -> 7 ms per 16x4096 batch).
       "exact": lax.top_k indices + gather, bit-faithful to the reference's
         kd-tree k-NN — the oracle for tests.
+
+    cand_xyz/cand_mask (optional): neighbor-candidate set when it differs
+    from the query set — the SPMD point-sharded path queries a local shard
+    against the all-gathered full cloud (parallel/spmd.py). Queries must be
+    a subset of candidates for the self-neighbor property to hold. Defaults
+    to (xyz, mask).
     """
+    if cand_xyz is None:
+        cand_xyz, cand_mask = xyz, mask
     n = xyz.shape[0]
     pad = (-n) % chunk
     xyz_p = jnp.pad(xyz, ((0, pad), (0, 0))) if pad else xyz
-    x2 = jnp.sum(xyz * xyz, axis=1)
-    inf_row = jnp.where(mask, 0.0, jnp.inf)
+    x2 = jnp.sum(cand_xyz * cand_xyz, axis=1)
+    inf_row = jnp.where(cand_mask, 0.0, jnp.inf)
 
     if selector == "exact":
-        idx = knn_indices(xyz, mask, xyz, mask, k, chunk)
-        neigh = xyz[idx]  # [N, k, 3]
+        idx = knn_indices(xyz, mask, cand_xyz, cand_mask, k, chunk)
+        neigh = cand_xyz[idx]  # [N, k, 3]
         centered = neigh - jnp.mean(neigh, axis=1, keepdims=True)
         cx, cy, cz = centered[..., 0], centered[..., 1], centered[..., 2]
 
@@ -145,19 +155,19 @@ def estimate_cov6(
         # moments table: (1, x, y, z, xx, xy, xz, yy, yz, zz), invalid rows zero
         xc = jnp.concatenate(
             [
-                jnp.ones((n, 1), xyz.dtype),
-                xyz,
-                xyz[:, :1] * xyz,
-                xyz[:, 1:2] * xyz[:, 1:],
-                xyz[:, 2:] * xyz[:, 2:],
+                jnp.ones((cand_xyz.shape[0], 1), cand_xyz.dtype),
+                cand_xyz,
+                cand_xyz[:, :1] * cand_xyz,
+                cand_xyz[:, 1:2] * cand_xyz[:, 1:],
+                cand_xyz[:, 2:] * cand_xyz[:, 2:],
             ],
             axis=1,
-        ) * mask[:, None]
+        ) * cand_mask[:, None]
 
         def one_chunk(qc):
             d2 = (
                 jnp.sum(qc * qc, axis=1, keepdims=True)
-                - 2.0 * jnp.dot(qc, xyz.T, preferred_element_type=jnp.float32)
+                - 2.0 * jnp.dot(qc, cand_xyz.T, preferred_element_type=jnp.float32)
                 + x2[None, :]
             ) + inf_row[None, :]
             dk, _ = jax.lax.approx_min_k(d2, k)

@@ -92,6 +92,10 @@ class MappingConfig:
     surrounding_keyframe_recency_sec: float = 10.0  # backMapping.cpp:600-608
     scan2map_max_iterations: int = 30  # backMapping.cpp:692
     degeneracy_eigen_threshold: float = 100.0  # backMapping.cpp:1006-1035
+    # Submap assembly keeps the nearest N eligible keyframes (the fixed-size
+    # stand-in for the reference's 2 m pose-set voxel downsample,
+    # backMapping.cpp:583-599).
+    surrounding_keyframe_max_nearby: int = 64
 
 
 @dataclass(frozen=True)
@@ -199,6 +203,10 @@ class StaticConfig:
     max_loop_factors: int = 256
     max_prior_factors: int = 512
     knn_query_chunk: int = 512
+    # What the runtime does when a fixed-capacity store drops an event
+    # (BackendState.dropped_counts): "warn" logs once per category and keeps
+    # going; "error" raises CapacityExhausted. Never silent.
+    on_capacity: str = "warn"  # warn | error
 
 
 @dataclass(frozen=True)

@@ -153,12 +153,19 @@ def _gradient(blocks: FactorBlocks, k: int) -> jnp.ndarray:
 class GraphSolution(NamedTuple):
     rot: jnp.ndarray
     trans: jnp.ndarray
-    iterations: jnp.ndarray
-    final_error: jnp.ndarray
+    iterations: jnp.ndarray  # GN iterations actually applied
+    final_error: jnp.ndarray  # weighted chi^2 at the RETURNED poses
+    converged: jnp.ndarray  # [] bool — relative error decrease below gn_tol
 
 
 def _block_jacobi_apply(pinv: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("kab,kb->ka", pinv, r)
+
+
+def graph_chi2(graph: PoseGraph, rot, trans, count) -> jnp.ndarray:
+    """Weighted chi^2 (with Cauchy IRLS weights) at the given poses."""
+    blocks = _linearize(graph, rot, trans, count)
+    return jnp.sum(blocks.valid[:, None] * blocks.info_w * blocks.res**2)
 
 
 @partial(jax.jit, static_argnames=("gn_iterations", "cg_iterations"))
@@ -167,37 +174,47 @@ def solve_pose_graph(
     rot: jnp.ndarray,
     trans: jnp.ndarray,
     count: jnp.ndarray,
-    gn_iterations: int = 5,
-    cg_iterations: int = 50,
-    cg_tol: float = 1e-6,
+    gn_iterations: int = 8,
+    cg_iterations: int = 100,
+    cg_tol: float = 1e-5,
     damping: float = 1e-6,
+    gn_tol: float = 1e-6,
 ) -> GraphSolution:
     """Full Gauss-Newton re-solve of the pose graph (the per-keyframe
     isam->update() + calculateEstimate sequence, backMapping.cpp:1115-1137).
 
     Poses at index >= count are held fixed; active poses update by right
-    multiplication with Exp(delta)."""
+    multiplication with Exp(delta). GN stops early when the relative chi^2
+    decrease falls below `gn_tol`; PCG stops when the preconditioned
+    residual norm drops below cg_tol * its initial value. `final_error` is
+    the chi^2 at the *returned* poses (post-update)."""
     k = rot.shape[0]
+    dtype = trans.dtype
     active = (jnp.arange(k) < count)[:, None]
 
-    def gn_body(_, carry):
-        rot, trans, err = carry
+    def gn_step(rot, trans):
+        """One linearize + PCG + retract. Returns (new_rot, new_trans,
+        chi2-at-input-poses)."""
         blocks = _linearize(graph, rot, trans, count)
+        err_here = jnp.sum(blocks.valid[:, None] * blocks.info_w * blocks.res**2)
         g = _gradient(blocks, k)
         diag = _hessian_diag_blocks(blocks, k)
-        pinv = inv3x3_blocks6(diag + damping * jnp.eye(6, dtype=trans.dtype))
+        pinv = inv3x3_blocks6(diag + damping * jnp.eye(6, dtype=dtype))
 
-        # PCG for H delta = -g
+        # PCG for H delta = -g, early exit on relative residual
         b = -g * active
         x = jnp.zeros_like(b)
-        r = b - _matvec(blocks, x, damping) * 1.0
-        r = r * active
+        r = b
         z = _block_jacobi_apply(pinv, r) * active
         p = z
-        rz = jnp.sum(r * z)
+        rz0 = jnp.sum(r * z)
 
-        def cg_body(_, cg):
-            x, r, p, rz = cg
+        def cg_cond(cg):
+            _, _, _, rz, it = cg
+            return (it < cg_iterations) & (rz > cg_tol * cg_tol * rz0)
+
+        def cg_body(cg):
+            x, r, p, rz, it = cg
             ap = _matvec(blocks, p, damping) * active
             denom = jnp.maximum(jnp.sum(p * ap), 1e-30)
             alpha = rz / denom
@@ -207,20 +224,37 @@ def solve_pose_graph(
             rz_new = jnp.sum(r * z)
             beta = rz_new / jnp.maximum(rz, 1e-30)
             p = z + beta * p
-            return (x, r, p, rz_new)
+            return (x, r, p, rz_new, it + 1)
 
-        x, r, p, rz = jax.lax.fori_loop(0, cg_iterations, cg_body, (x, r, p, rz))
-        delta = x * active
-
-        step = se3.exp(delta)  # batched [K]
-        new = se3.SE3(rot, trans).compose(step)
-        err = jnp.sum(
-            blocks.valid[:, None] * blocks.info_w * blocks.res**2
+        x, _, _, _, _ = jax.lax.while_loop(
+            cg_cond, cg_body, (x, r, p, rz0, jnp.asarray(0, jnp.int32))
         )
-        return (new.rot, new.trans, err)
+        delta = x * active
+        new = se3.SE3(rot, trans).compose(se3.exp(delta))
+        return new.rot, new.trans, err_here
 
-    rot, trans, err = jax.lax.fori_loop(0, gn_iterations, gn_body, (rot, trans, jnp.asarray(0.0, trans.dtype)))
-    return GraphSolution(rot, trans, jnp.asarray(gn_iterations), err)
+    def gn_cond(carry):
+        _, _, prev_err, it, done = carry
+        return (it < gn_iterations) & ~done
+
+    def gn_body(carry):
+        rot, trans, prev_err, it, _ = carry
+        new_rot, new_trans, err_here = gn_step(rot, trans)
+        # converged when the previous update barely changed chi^2
+        # (relative decrease below gn_tol, with an absolute floor so a
+        # solve that bottoms out near zero chi^2 also counts)
+        done = (it > 0) & (
+            jnp.abs(prev_err - err_here) <= gn_tol * err_here + 1e-9
+        )
+        rot = jnp.where(done, rot, new_rot)
+        trans = jnp.where(done, trans, new_trans)
+        it = jnp.where(done, it, it + 1)
+        return (rot, trans, err_here, it, done)
+
+    init = (rot, trans, jnp.asarray(jnp.inf, dtype), jnp.asarray(0, jnp.int32), jnp.array(False))
+    rot, trans, _, it, done = jax.lax.while_loop(gn_cond, gn_body, init)
+    final_err = graph_chi2(graph, rot, trans, count)
+    return GraphSolution(rot, trans, it, final_err, done)
 
 
 def inv3x3_blocks6(m: jnp.ndarray) -> jnp.ndarray:

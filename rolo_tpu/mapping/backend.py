@@ -51,6 +51,11 @@ class BackendState(NamedTuple):
     last_front_trans: jnp.ndarray  # [3]
     has_front: jnp.ndarray  # [] bool (lastOdomTransAvailable)
     pending_solve: jnp.ndarray  # [] bool (aLoopIsClosed analog)
+    # host-visible capacity-exhaustion counters: events DROPPED because a
+    # fixed-capacity store was full, order (keyframes, loop factors, prior
+    # factors, prior queue overwrites). Never silently zero — the runtime
+    # escalates per StaticConfig.on_capacity.
+    dropped_counts: jnp.ndarray  # [4] int32
 
 
 class BackendOutput(NamedTuple):
@@ -62,6 +67,12 @@ class BackendOutput(NamedTuple):
     degenerate: jnp.ndarray  # [] bool (covariance[0] flag :1385-1388)
     s2m_iterations: jnp.ndarray
     num_factors: jnp.ndarray
+    # capacity saturation: True when a keyframe add was gated in but DROPPED
+    # because the fixed-capacity DB is full. The reference's std::vector
+    # grows unboundedly (backMapping.cpp:115-122); static shapes can't, so
+    # exhaustion must be host-visible, not silent (the runtime escalates per
+    # StaticConfig.on_capacity).
+    keyframe_dropped: jnp.ndarray  # [] bool
 
 
 def init_backend(cfg: RoloConfig, dtype=jnp.float32) -> BackendState:
@@ -78,6 +89,7 @@ def init_backend(cfg: RoloConfig, dtype=jnp.float32) -> BackendState:
         last_front_trans=jnp.zeros(3, dtype),
         has_front=jnp.asarray(False),
         pending_solve=jnp.asarray(False),
+        dropped_counts=jnp.zeros(4, jnp.int32),
     )
 
 
@@ -127,7 +139,8 @@ def backend_step(
         sub_c, sub_s = extract_submap(
             state.db, xyz, scan_time,
             m.surrounding_keyframe_search_radius, m.surrounding_keyframe_recency_sec,
-            max_nearby=64, corner_out_cap=st.max_submap_points,
+            max_nearby=m.surrounding_keyframe_max_nearby,
+            corner_out_cap=st.max_submap_points,
             surf_out_cap=st.max_submap_points,
             corner_leaf=m.mapping_corner_leaf_size, surf_leaf=m.mapping_surf_leaf_size,
         )
@@ -210,6 +223,7 @@ def backend_step(
     out_trans = jnp.where(use_corr, corrected.trans, pose.trans)
     roll, pitch, yaw = so3.matrix_to_rpy(out_rot)
 
+    dropped = add & (state.db.count >= st.max_keyframes)
     new_state = BackendState(
         db=db,
         graph=graph,
@@ -222,10 +236,12 @@ def backend_step(
         last_front_trans=front_trans,
         has_front=state.has_front | odom_available,
         pending_solve=pending,
+        dropped_counts=state.dropped_counts.at[0].add(dropped.astype(jnp.int32)),
     )
     return new_state, BackendOutput(
-        rot=out_rot, trans=out_trans, keyframe_added=add,
+        rot=out_rot, trans=out_trans, keyframe_added=add & ~dropped,
         degenerate=degen, s2m_iterations=iters, num_factors=nfac,
+        keyframe_dropped=dropped,
     )
 
 
@@ -246,6 +262,7 @@ def loop_closure_step(state: BackendState, cfg: RoloConfig) -> Tuple[BackendStat
     graph = state.graph
     matched = state.loop_matched
     closed = jnp.asarray(False)
+    loop_drops = jnp.asarray(0, jnp.int32)
 
     def try_close(prev_idx, init_yaw, robust, found):
         cur_sub = loopmod.assemble_loop_submap(
@@ -278,6 +295,7 @@ def loop_closure_step(state: BackendState, cfg: RoloConfig) -> Tuple[BackendStat
             lambda: try_close(det.index, det.yaw_rad, True, sc_found),
             no_factor,
         )
+        loop_drops += (factor.accepted & (graph.loops.count >= graph.loops.capacity)).astype(jnp.int32)
         graph = graph._replace(
             loops=add_between(
                 graph.loops, factor.i, factor.j, factor.rel_rot, factor.rel_trans,
@@ -296,6 +314,7 @@ def loop_closure_step(state: BackendState, cfg: RoloConfig) -> Tuple[BackendStat
             lambda: try_close(prev_idx, jnp.asarray(0.0, dtype), False, rs_found),
             no_factor,
         )
+        loop_drops += (factor.accepted & (graph.loops.count >= graph.loops.capacity)).astype(jnp.int32)
         graph = graph._replace(
             loops=add_between(
                 graph.loops, factor.i, factor.j, factor.rel_rot, factor.rel_trans,
@@ -306,7 +325,11 @@ def loop_closure_step(state: BackendState, cfg: RoloConfig) -> Tuple[BackendStat
         closed = closed | factor.accepted
 
     return (
-        state._replace(graph=graph, loop_matched=matched, pending_solve=state.pending_solve | closed),
+        state._replace(
+            graph=graph, loop_matched=matched,
+            pending_solve=state.pending_solve | closed,
+            dropped_counts=state.dropped_counts.at[1].add(loop_drops),
+        ),
         closed,
     )
 
@@ -318,38 +341,71 @@ def prior_step(
     cfg: RoloConfig,
 ) -> Tuple[BackendState, jnp.ndarray]:
     """One prior-association pass (priorThread -> performPriorAssociation,
-    backMapping.cpp:1929-1941, 1943-2158): try every stored prior against
-    the current keyframe; at most one match is accepted per pass
-    (`break` at :2147). Returns (state, matched_any)."""
+    backMapping.cpp:1929-1941, 1943-2158). The reference iterates stored
+    priors and `break`s on the first match (:2147); here the xy-distance
+    gate (:1981-1982, the first and cheapest gate) is evaluated for the
+    whole queue vectorized, and the ICP + remaining gates run on the single
+    nearest eligible entry under `lax.cond` — at most ONE ICP compiles into
+    the step instead of one per queue slot. Returns (state, matched_any)."""
     q = state.prior_queue
     cur = jnp.maximum(state.db.count - 1, 0)
     cur_rot = state.db.rot[cur]
     cur_trans = state.db.trans[cur]
+    dtype = cur_trans.dtype
 
-    def try_entry(carry, idx):
-        graph, already = carry
-        linked = jnp.minimum(q.linked_key[idx], state.db.capacity - 1)
-        factor = priormod.associate_prior(
-            q.rel_rot[idx], q.rel_trans[idx], q.linked_key[idx],
-            PaddedCloud(q.patch_xyz[idx], q.patch_mask[idx]),
-            q.valid[idx] & (idx < q.count) & ~already & (state.db.count > 0),
+    # --- vectorized prefilter: global prior xy for every queue entry ------
+    idx_all = jnp.arange(q.capacity)
+    linked_all = jnp.minimum(q.linked_key, state.db.capacity - 1)
+    linked_rot = state.db.rot[linked_all]  # [P, 3, 3]
+    linked_trans = state.db.trans[linked_all]  # [P, 3]
+    prior_xy = (
+        jnp.einsum("pij,pj->pi", linked_rot, q.rel_trans) + linked_trans
+    )[:, :2]
+    d2 = jnp.sum((prior_xy - cur_trans[:2]) ** 2, axis=-1)
+    eligible = (
+        q.valid
+        & (idx_all < q.count)
+        & (q.linked_key != cur)
+        & (d2 < cfg.prior.near_prior_radius**2)
+        & (state.db.count > 0)
+    )
+    score = jnp.where(eligible, d2, jnp.inf)
+    pick = jnp.argmin(score).astype(jnp.int32)
+    any_eligible = jnp.isfinite(score[pick])
+
+    def run_icp():
+        linked = linked_all[pick]
+        return priormod.associate_prior(
+            q.rel_rot[pick], q.rel_trans[pick], q.linked_key[pick],
+            PaddedCloud(q.patch_xyz[pick], q.patch_mask[pick]),
+            jnp.asarray(True),
             state.db.rot[linked], state.db.trans[linked],
             cur, cur_rot, cur_trans, ground_now, cfg.prior,
         )
-        graph = graph._replace(
-            priors=add_between(
-                graph.priors, factor.i, factor.j, factor.rel_rot, factor.rel_trans,
-                factor.noise_var, enable=factor.accepted,
-            )
-        )
-        return (graph, already | factor.accepted), factor.accepted
 
-    (graph, matched_any), _ = jax.lax.scan(
-        try_entry, (state.graph, jnp.asarray(False)), jnp.arange(q.capacity)
+    def no_match():
+        return priormod.PriorFactor(
+            i=jnp.asarray(0, jnp.int32), j=jnp.asarray(0, jnp.int32),
+            rel_rot=jnp.eye(3, dtype=dtype), rel_trans=jnp.zeros(3, dtype),
+            noise_var=jnp.ones(6, dtype), accepted=jnp.asarray(False),
+        )
+
+    factor = jax.lax.cond(any_eligible, run_icp, no_match)
+    prior_drop = (
+        factor.accepted & (state.graph.priors.count >= state.graph.priors.capacity)
+    ).astype(jnp.int32)
+    graph = state.graph._replace(
+        priors=add_between(
+            state.graph.priors, factor.i, factor.j, factor.rel_rot,
+            factor.rel_trans, factor.noise_var, enable=factor.accepted,
+        )
     )
     return (
-        state._replace(graph=graph, pending_solve=state.pending_solve | matched_any),
-        matched_any,
+        state._replace(
+            graph=graph, pending_solve=state.pending_solve | factor.accepted,
+            dropped_counts=state.dropped_counts.at[2].add(prior_drop),
+        ),
+        factor.accepted,
     )
 
 
@@ -359,8 +415,12 @@ def record_prior_observation(
     """priorInfoHandler (backMapping.cpp:459-513): link the observation to
     the latest keyframe and store it relative to that keyframe's pose."""
     cur = jnp.maximum(state.db.count - 1, 0)
+    enable = state.db.count > 0
     q = priormod.push_prior(
         state.prior_queue, obs, cur, state.db.rot[cur], state.db.trans[cur],
-        enable=state.db.count > 0,
+        enable=enable,
     )
-    return state._replace(prior_queue=q)
+    wrapped = (enable & obs.success & (state.prior_queue.count >= state.prior_queue.capacity)).astype(jnp.int32)
+    return state._replace(
+        prior_queue=q, dropped_counts=state.dropped_counts.at[3].add(wrapped)
+    )

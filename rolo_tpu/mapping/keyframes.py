@@ -137,6 +137,7 @@ def extract_submap(
     recent = (query_time - db.time) < recency_sec
     eligible = valid & ((d2 <= search_radius**2) | recent)
     # nearest max_nearby eligible keyframes
+    max_nearby = min(max_nearby, db.capacity)
     score = jnp.where(eligible, d2, jnp.inf)
     _, sel = jax.lax.top_k(-score, max_nearby)  # [M]
     sel_ok = jnp.isfinite(score[sel])

@@ -56,6 +56,14 @@ def infer_rel_time(xyz: np.ndarray, scan_period: float) -> np.ndarray:
     return (rel / (2.0 * math.pi) * scan_period).astype(np.float32)
 
 
+class CapacityExhausted(RuntimeError):
+    """A fixed-capacity store dropped an event and
+    StaticConfig.on_capacity == "error"."""
+
+
+_DROP_CATEGORIES = ("keyframes", "loop_factors", "prior_factors", "prior_queue_overwrites")
+
+
 class SlamSystem:
     """One SLAM session over a scan stream.
 
@@ -87,6 +95,11 @@ class SlamSystem:
         # per-stage wall-clock metrics (the reference's solver printf
         # timers, lidarOdometry.cpp:476-498, made structured)
         self.timers = StageTimers()
+
+        # capacity-exhaustion accounting (BackendState.dropped_counts read
+        # back after backend-touching steps; see StaticConfig.on_capacity)
+        self.drop_counts = dict.fromkeys(_DROP_CATEGORIES, 0)
+        self._warned_drops = set()
 
         # trajectory logs (host side)
         self.times: List[float] = []
@@ -242,10 +255,36 @@ class SlamSystem:
             with self.timers.stage("prior"):
                 self._run_prior_cycle()
 
+        if "mapped_trans" in out or "loop_closed" in out:
+            self._check_capacity()
+
         self.times.append(stamp)
         self.front_positions.append(out["front_trans"])
         self.front_quats.append(np.asarray(so3.matrix_to_quat(front_rot)))
         return out
+
+    def _check_capacity(self) -> None:
+        """Surface BackendState.dropped_counts on the host: warn once per
+        category or raise, per StaticConfig.on_capacity. (The reference's
+        containers grow without bound, backMapping.cpp:115-122; fixed
+        capacities must fail loudly instead.)"""
+        counts = np.asarray(self.backend_state.dropped_counts)
+        for name, n in zip(_DROP_CATEGORIES, counts):
+            n = int(n)
+            if n <= self.drop_counts[name]:
+                continue
+            self.drop_counts[name] = n
+            msg = (
+                f"rolo_tpu: capacity exhausted for '{name}' ({n} events dropped); "
+                f"raise the corresponding StaticConfig limit"
+            )
+            if self.cfg.static.on_capacity == "error" and name != "prior_queue_overwrites":
+                raise CapacityExhausted(msg)
+            if name not in self._warned_drops:
+                self._warned_drops.add(name)
+                import warnings
+
+                warnings.warn(msg, RuntimeWarning)
 
     def _run_prior_cycle(self) -> None:
         """predictTimerHandler -> prior_pose_node -> priorInfoHandler ->

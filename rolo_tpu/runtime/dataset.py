@@ -1,0 +1,213 @@
+"""End-to-end dataset harness: run SlamSystem over a scan source, export
+trajectories, and score ATE/RPE against ground truth.
+
+This is the automated version of the reference's manual evaluation loop —
+`roslaunch` + `rosbag play` + TUM export + external evo scoring
+(/root/reference/README.md:44-52, src/backMapping.cpp:2679-2699; SURVEY.md
+section 4). Scan sources: the in-repo simulator (exact GT), a directory of
+KITTI .bin or PCD files (GT from a TUM file), or a rosbag v2.
+
+The reference C++ cannot be executed here (no ROS in this environment), so
+dataset/simulator ground truth is the accuracy oracle, per BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Dict, Iterable, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from ..config import RoloConfig
+from . import io as rio
+from . import metrics
+from .slam import SlamSystem
+
+
+@dataclass
+class SequenceResult:
+    n_scans: int = 0
+    wall_s: float = 0.0
+    scans_per_s: float = 0.0
+    # ATE of the front-end (per-scan) and optimized keyframe trajectories
+    ate_frontend: Optional[metrics.ATEResult] = None
+    ate_keyframes: Optional[metrics.ATEResult] = None
+    rpe_frontend: Optional[float] = None
+    drop_counts: Dict[str, int] = field(default_factory=dict)
+    stage_ms: Dict[str, float] = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        out = {
+            "n_scans": self.n_scans,
+            "wall_s": round(self.wall_s, 3),
+            "scans_per_s": round(self.scans_per_s, 2),
+            "drop_counts": self.drop_counts,
+            "stage_ms": {k: round(v, 3) for k, v in self.stage_ms.items()},
+        }
+        if self.ate_frontend is not None:
+            out["ate_frontend_rmse_m"] = round(self.ate_frontend.rmse, 4)
+        if self.ate_keyframes is not None:
+            out["ate_keyframes_rmse_m"] = round(self.ate_keyframes.rmse, 4)
+        if self.rpe_frontend is not None:
+            out["rpe_frontend_rmse_m"] = round(self.rpe_frontend, 4)
+        return out
+
+
+def run_frames(
+    slam: SlamSystem,
+    frames: Iterable,
+    gt: Optional[List[Tuple[float, np.ndarray]]] = None,
+    out_dir: Optional[str] = None,
+    progress_every: int = 0,
+) -> SequenceResult:
+    """Drive `slam` over frames. Each frame needs .stamp/.points and may
+    carry .ring/.rel_time/.gt_trans (simulator frames do). `gt` optionally
+    supplies (stamp, position) ground truth for non-sim sources."""
+    gt_times: List[float] = []
+    gt_pos: List[np.ndarray] = []
+    if gt:
+        gt_times = [t for t, _ in gt]
+        gt_pos = [p for _, p in gt]
+
+    n = 0
+    t_start = time.perf_counter()
+    for frame in frames:
+        ring = getattr(frame, "ring", None)
+        rel_time = getattr(frame, "rel_time", None)
+        slam.process_scan(frame.points, frame.stamp, ring=ring, rel_time=rel_time)
+        if getattr(frame, "gt_trans", None) is not None and not gt:
+            gt_times.append(frame.stamp)
+            gt_pos.append(np.asarray(frame.gt_trans))
+        n += 1
+        if progress_every and n % progress_every == 0:
+            print(f"  scan {n} ({time.perf_counter() - t_start:.1f}s)", flush=True)
+    wall = time.perf_counter() - t_start
+
+    res = SequenceResult(
+        n_scans=n, wall_s=wall, scans_per_s=n / max(wall, 1e-9),
+        drop_counts=dict(slam.drop_counts),
+        stage_ms={k: v["mean_ms"] for k, v in slam.timers.summary().items()},
+    )
+
+    if gt_pos:
+        gt_t = np.asarray(gt_times)
+        gt_p = np.asarray(gt_pos)
+        # SlamSystem rebases stamps to the first scan
+        est_t = np.asarray(slam.times) + (slam._epoch or 0.0)
+        est_p = np.asarray(slam.front_positions)
+        ia, ib = metrics.associate_by_time(est_t, gt_t, max_diff=0.05)
+        if len(ia) >= 3:
+            res.ate_frontend = metrics.ate(est_p[ia], gt_p[ib])
+            res.rpe_frontend = metrics.rpe(est_p[ia], gt_p[ib])
+        kt, kp, _ = slam.keyframe_trajectory()
+        ia, ib = metrics.associate_by_time(np.asarray(kt) + (slam._epoch or 0.0), gt_t, max_diff=0.05)
+        if len(ia) >= 3:
+            res.ate_keyframes = metrics.ate(kp[ia], gt_p[ib])
+
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        slam.save_results(out_dir)
+        if gt_pos:
+            quats = np.tile(np.array([1.0, 0, 0, 0]), (len(gt_pos), 1))
+            rio.write_tum(os.path.join(out_dir, "gt_tum.txt"), gt_times, np.asarray(gt_pos), quats)
+        with open(os.path.join(out_dir, "result.json"), "w") as f:
+            json.dump(res.to_json(), f, indent=2)
+    return res
+
+
+# ---------------------------------------------------------------------------
+# Scan sources
+# ---------------------------------------------------------------------------
+
+
+class _Frame:
+    __slots__ = ("stamp", "points", "ring", "rel_time", "gt_trans")
+
+    def __init__(self, stamp, points, ring=None, rel_time=None, gt_trans=None):
+        self.stamp = stamp
+        self.points = points
+        self.ring = ring
+        self.rel_time = rel_time
+        self.gt_trans = gt_trans
+
+
+def frames_from_dir(path: str, rate_hz: float = 10.0) -> Iterator[_Frame]:
+    """KITTI .bin or PCD directory, sorted by filename; stamps synthesized
+    at `rate_hz` when filenames are not timestamps."""
+    files = sorted(glob.glob(os.path.join(path, "*.bin")) + glob.glob(os.path.join(path, "*.pcd")))
+    if not files:
+        raise FileNotFoundError(f"no .bin/.pcd scans under {path}")
+    for i, fp in enumerate(files):
+        if fp.endswith(".bin"):
+            pts = rio.read_kitti_bin(fp)[:, :3]
+            ring = None
+            rel = None
+        else:
+            fields = rio.read_pcd(fp)
+            pts = np.column_stack([fields["x"], fields["y"], fields["z"]]).astype(np.float32)
+            ring = fields.get("ring")
+            rel = fields.get("time", fields.get("t"))
+            if rel is not None and rel.dtype.kind in "ui":  # Ouster t: nanoseconds
+                rel = (rel.astype(np.float64) * 1e-9).astype(np.float32)
+        stem = os.path.splitext(os.path.basename(fp))[0]
+        try:
+            stamp = float(stem)
+        except ValueError:
+            stamp = i / rate_hz
+        yield _Frame(stamp, pts, ring=ring, rel_time=rel)
+
+
+def frames_from_bag(path: str, topic: Optional[str] = None) -> Iterator[_Frame]:
+    """PointCloud2 messages from a rosbag v2 via the native host reader."""
+    from ..cpp import host
+
+    reader = host.BagReader(path)
+    conns = reader.connections()
+    pc2 = [c for c, typ in conns if "PointCloud2" in typ]
+    want = topic or (pc2[0] if pc2 else None)
+    if want is None:
+        raise ValueError(f"no PointCloud2 topics in {path}: {conns}")
+    for i in range(len(reader)):
+        conn_idx, stamp, _ = reader.message_info(i)
+        cname, ctype = conns[conn_idx]
+        if cname != want:
+            continue
+        fields = reader.read_pointcloud2(i)
+        pts = np.column_stack([fields["x"], fields["y"], fields["z"]]).astype(np.float32)
+        ring = fields.get("ring")
+        rel = fields.get("time", fields.get("t"))
+        if rel is not None and rel.dtype.kind in "ui":
+            rel = (rel.astype(np.float64) * 1e-9).astype(np.float32)
+        yield _Frame(stamp, pts, ring=ring, rel_time=rel)
+
+
+def gt_from_tum(path: str) -> List[Tuple[float, np.ndarray]]:
+    t, pos, _ = rio.read_tum(path)
+    return list(zip(t.tolist(), pos))
+
+
+def run_simulated(
+    cfg: RoloConfig,
+    sim_cfg=None,
+    out_dir: Optional[str] = None,
+    with_priors: bool = True,
+    progress_every: int = 0,
+) -> SequenceResult:
+    """Full pipeline over a simulated sequence (rolo_tpu.sim): scans,
+    ground map for the prior stack, ATE vs exact GT."""
+    from ..sim import SimConfig, generate_sequence, ground_map_points
+    from ..sim.dataset import make_scene
+
+    sim_cfg = sim_cfg or SimConfig()
+    scene = make_scene(sim_cfg)
+    slam = SlamSystem(cfg)
+    if with_priors and cfg.prior.enable:
+        slam.set_ground_map(ground_map_points(sim_cfg, scene))
+    return run_frames(
+        slam, generate_sequence(sim_cfg, scene), out_dir=out_dir,
+        progress_every=progress_every,
+    )

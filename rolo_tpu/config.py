@@ -326,6 +326,21 @@ def _apply_namespace(cfg: RoloConfig, ns: dict) -> RoloConfig:
             sections["prior"]["rot_diff_tolerance_rad"] = float(value) * math.pi / 180.0
         elif key in _PRIOR_FACTOR_KEYMAP:
             sections["prior"][_PRIOR_FACTOR_KEYMAP[key]] = value
+    # TPU-specific namespace (no reference analog): sections by python field
+    # name, e.g. tpu: {static: {max_raw_points: 16384}, registration: {...}}.
+    # Unknown sections/fields are loud errors — silent typos in capacity
+    # configs would otherwise surface as OOMs or truncation much later.
+    tpu_ns = ns.get("tpu", {}) or {}
+    for sec_name, sec_vals in tpu_ns.items():
+        if sec_name not in sections or sections[sec_name] is None:
+            raise ValueError(f"unknown tpu config section: {sec_name!r}")
+        if not isinstance(sec_vals, dict):
+            raise ValueError(f"tpu.{sec_name} must be a mapping")
+        for k, v in sec_vals.items():
+            if k not in sections[sec_name]:
+                raise ValueError(f"unknown tpu config key: {sec_name}.{k}")
+            sections[sec_name][k] = v
+
     pp_ns = ns.get("prior_pose_node", {}) or {}
     for key, value in pp_ns.items():
         if key == "wheel_xy":

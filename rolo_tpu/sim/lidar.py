@@ -56,6 +56,8 @@ class SimScan(NamedTuple):
 
 def _ray_boxes(scene: Scene, o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
     """Nearest box hit distance per ray; +inf when none. o, d: [R, 3]."""
+    if scene.box_min.shape[0] == 0:
+        return jnp.full(o.shape[:1], jnp.inf)
     inv = 1.0 / jnp.where(jnp.abs(d) < 1e-9, jnp.where(d >= 0, 1e-9, -1e-9), d)
     t1 = (scene.box_min[None] - o[:, None]) * inv[:, None]  # [R, B, 3]
     t2 = (scene.box_max[None] - o[:, None]) * inv[:, None]
@@ -67,6 +69,8 @@ def _ray_boxes(scene: Scene, o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
 
 def _ray_cylinders(scene: Scene, o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
     """Nearest vertical-cylinder hit distance per ray; +inf when none."""
+    if scene.cyl_xy.shape[0] == 0:
+        return jnp.full(o.shape[:1], jnp.inf)
     oc = o[:, None, :2] - scene.cyl_xy[None]  # [R, C, 2]
     dd = d[:, None, :2]
     a = jnp.sum(dd * dd, axis=-1)

@@ -16,6 +16,12 @@ from rolo_tpu.parallel import (
     shard_batch,
     shard_registration_inputs,
 )
+from rolo_tpu.parallel.mesh import (
+    distributed_init,
+    make_pod_mesh,
+    pod_batch_sharding,
+    shard_batch_pod,
+)
 from rolo_tpu.prior import ground as gnd
 from rolo_tpu.prior import vehicle as veh
 
@@ -142,6 +148,54 @@ class TestPriorBatch:
         # slope 0.1 in x -> pitch ~ -atan(0.1) sign aside, magnitude check
         np.testing.assert_allclose(
             np.abs(np.asarray(res.pitch)), np.arctan(0.1), atol=0.08
+        )
+
+
+class TestPodMesh:
+    """2D ("host", "batch") pod mesh — the DCN/multi-host sharding layout
+    emulated on virtual devices (host axis = device groups)."""
+
+    def test_make_pod_mesh_shape(self):
+        m = make_pod_mesh(n_hosts=2, devices_per_host=4)
+        assert m.shape["host"] == 2 and m.shape["batch"] == 4
+
+    def test_distributed_init_single_process_noop(self):
+        # single-process: must be a no-op returning False, devices unchanged
+        n_before = jax.device_count()
+        assert distributed_init() is False
+        assert jax.device_count() == n_before
+
+    def test_shard_batch_pod_placement(self):
+        m = make_pod_mesh(n_hosts=2, devices_per_host=4)
+        x = jnp.zeros((16, 4))
+        y = jnp.zeros((3,))
+        sx, sy = shard_batch_pod((x, y), m)
+        assert len(sx.sharding.device_set) == 8
+        assert sx.sharding.is_equivalent_to(pod_batch_sharding(m), 2)
+        assert sy.sharding.is_fully_replicated
+
+    def test_pod_registration_matches_1d(self, mesh):
+        from rolo_tpu.parallel.batch import ShardedRegistrationInputs
+
+        n, b = 256, 8
+        cfg = RegistrationConfig(max_outer_iterations=8)
+        src = np.stack([_structured(n, 300 + s) for s in range(b)])
+        tgt = src + np.array([0.15, -0.05, 0.0], np.float32)
+        masks = np.ones((b, n), bool)
+        dt = jnp.full((b,), 0.1, jnp.float32)
+        tree = ShardedRegistrationInputs(
+            jnp.asarray(src), jnp.asarray(masks), jnp.asarray(tgt), jnp.asarray(masks),
+            jnp.zeros((b, 3), jnp.float32), jnp.zeros((b, 3), jnp.float32), dt, dt,
+        )
+        res_1d = registration_batch(
+            *shard_batch(tree, mesh), cfg=cfg, voxel_capacity=1024, k=10
+        )
+        pod = make_pod_mesh(n_hosts=2, devices_per_host=4)
+        res_2d = registration_batch(
+            *shard_batch_pod(tree, pod), cfg=cfg, voxel_capacity=1024, k=10
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_1d.trans), np.asarray(res_2d.trans), atol=1e-4
         )
 
 

@@ -1,0 +1,170 @@
+"""Simulator (rolo_tpu.sim) tests: analytic raycast oracles, determinism,
+and a tiny end-to-end dataset-harness run with ATE scoring — the automated
+stand-in for the reference's bag-replay system test
+(/root/reference/README.md:44-52, SURVEY.md section 4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rolo_tpu.config import (
+    FeatureConfig,
+    LoopConfig,
+    MappingConfig,
+    RoloConfig,
+    SensorConfig,
+    StaticConfig,
+)
+from rolo_tpu.sim import (
+    SimConfig,
+    default_scene,
+    generate_sequence,
+    ground_map_points,
+    loop_trajectory_pose,
+    simulate_scan,
+)
+from rolo_tpu.sim.dataset import make_scene
+from rolo_tpu.sim.lidar import velodyne16
+from rolo_tpu.sim.scene import Scene, terrain_height
+
+
+def _flat_scene() -> Scene:
+    """Flat ground at z=0, no structures."""
+    z = jnp.zeros((1,), jnp.float32)
+    return Scene(
+        terrain_amp=z, terrain_fx=z, terrain_fy=z, terrain_phase=z,
+        box_min=jnp.zeros((0, 3)), box_max=jnp.zeros((0, 3)),
+        cyl_xy=jnp.zeros((0, 2)), cyl_r=jnp.zeros((0,)),
+        cyl_z0=jnp.zeros((0,)), cyl_z1=jnp.zeros((0,)),
+    )
+
+
+class TestRaycast:
+    def test_flat_ground_ranges_analytic(self):
+        """Stationary sensor at height h over flat ground: every downward
+        beam's range must equal h / sin(-elev) exactly (noise off)."""
+        scene = _flat_scene()
+        model = velodyne16(noise_std=0.0, dropout=0.0, max_range=80.0)
+        n_cols = 64
+        h = 1.5
+        rot = jnp.broadcast_to(jnp.eye(3), (n_cols, 3, 3))
+        trans = jnp.broadcast_to(jnp.array([0.0, 0.0, h]), (n_cols, 3))
+        scan = simulate_scan(scene, model, rot, trans, jax.random.PRNGKey(0))
+
+        rng_meas = np.linalg.norm(np.asarray(scan.xyz), axis=1)
+        mask = np.asarray(scan.mask)
+        ring = np.asarray(scan.ring)
+        elev = np.asarray(model.elev)
+
+        for b in range(16):
+            sel = mask & (ring == b)
+            if elev[b] >= -np.arcsin(h / 80.0):  # beam misses within range
+                assert not sel.any()
+            else:
+                expected = h / np.sin(-elev[b])
+                # terrain march+bisect tolerance ~ max_range / 160 / 2^14 plus
+                # bracket midpoint error; allow a few cm
+                np.testing.assert_allclose(rng_meas[sel], expected, atol=0.05)
+
+    def test_box_hit_distance(self):
+        """A single wall at x=10: forward rays measure exactly 10 m."""
+        scene = _flat_scene()._replace(
+            box_min=jnp.asarray([[10.0, -20.0, -5.0]]),
+            box_max=jnp.asarray([[12.0, 20.0, 20.0]]),
+        )
+        model = velodyne16(noise_std=0.0, dropout=0.0)
+        n_cols = 360
+        rot = jnp.broadcast_to(jnp.eye(3), (n_cols, 3, 3))
+        trans = jnp.broadcast_to(jnp.array([0.0, 0.0, 5.0]), (n_cols, 3))
+        scan = simulate_scan(scene, model, rot, trans, jax.random.PRNGKey(0))
+        xyz = np.asarray(scan.xyz)
+        mask = np.asarray(scan.mask)
+        ring = np.asarray(scan.ring)
+        # horizontal beam (ring 7/8 are near 0 elevation for VLP-16? use the
+        # beam closest to horizontal), columns pointing +x
+        b = int(np.argmin(np.abs(np.asarray(model.elev))))
+        sel = mask & (ring == b) & (xyz[:, 0] > 0) & (np.abs(xyz[:, 1]) < 0.2)
+        assert sel.any()
+        np.testing.assert_allclose(xyz[sel][:, 0], 10.0, atol=0.1)
+
+    def test_sequence_determinism(self):
+        cfg = SimConfig(n_scans=2, n_cols=128, sensor="velodyne16")
+        a = list(generate_sequence(cfg))
+        b = list(generate_sequence(cfg))
+        for fa, fb in zip(a, b):
+            np.testing.assert_array_equal(fa.points, fb.points)
+            np.testing.assert_array_equal(fa.gt_trans, fb.gt_trans)
+
+    def test_frame_fields(self):
+        cfg = SimConfig(n_scans=1, n_cols=128, sensor="velodyne16")
+        (frame,) = list(generate_sequence(cfg))
+        assert frame.points.ndim == 2 and frame.points.shape[1] == 3
+        assert frame.ring.shape[0] == frame.points.shape[0]
+        assert frame.rel_time.min() >= 0.0
+        assert frame.rel_time.max() < 1.0 / cfg.scan_rate_hz
+        assert (frame.ring >= 0).all() and (frame.ring < 16).all()
+        r = np.linalg.norm(frame.points, axis=1)
+        assert (r >= 0.5).all() and (r <= cfg.max_range + 1.0).all()
+
+    def test_ground_map_matches_terrain(self):
+        cfg = SimConfig(seed=3)
+        scene = make_scene(cfg)
+        gm = ground_map_points(cfg, scene, spacing=2.0)
+        z = np.asarray(terrain_height(scene, jnp.asarray(gm[:, :2])))
+        np.testing.assert_allclose(gm[:, 2], z, atol=1e-4)
+
+    def test_trajectory_on_terrain(self):
+        scene = default_scene(seed=1)
+        t = jnp.linspace(0.0, 60.0, 20)
+        rot, trans = loop_trajectory_pose(scene, t, sensor_height=1.8)
+        ground = np.asarray(terrain_height(scene, trans[:, :2]))
+        # sensor rides ~1.8 m above the terrain (slope-corrected, so not exact)
+        np.testing.assert_allclose(np.asarray(trans[:, 2]) - ground, 1.8, atol=0.3)
+        # rotations orthonormal
+        rtr = np.einsum("tij,tik->tjk", np.asarray(rot), np.asarray(rot))
+        np.testing.assert_allclose(rtr, np.broadcast_to(np.eye(3), rtr.shape), atol=1e-5)
+
+
+SIM_SLAM_CFG = RoloConfig(
+    sensor=SensorConfig(n_scan=16, horizon_scan=512, lidar_min_range=1.0, lidar_max_range=60.0),
+    features=FeatureConfig(edge_threshold=0.8, surf_threshold=0.1),
+    mapping=MappingConfig(scan2map_max_iterations=6, mapping_process_interval=0.05),
+    loop=LoopConfig(enable=False),
+    static=StaticConfig(
+        max_raw_points=16384,
+        max_corner_points=512,
+        max_surf_points=1024,
+        max_feature_points=1536,
+        max_voxels=4096,
+        max_keyframes=64,
+        max_submap_points=4096,
+        max_loop_factors=16,
+        max_prior_factors=16,
+        knn_query_chunk=256,
+    ),
+)
+
+
+class TestEndToEndSim:
+    """Golden-trajectory smoke regression: the full SlamSystem over raycast
+    scans with exact GT. Longer/looped runs live in tools/run via the CLI;
+    this pins the small-scale number in CI."""
+
+    def test_short_segment_ate(self, tmp_path):
+        from rolo_tpu.runtime.dataset import run_simulated
+
+        sim_cfg = SimConfig(
+            n_scans=10, n_cols=512, sensor="velodyne16", period=60.0,
+            noise_std=0.015, dropout=0.03, seed=0,
+        )
+        res = run_simulated(
+            SIM_SLAM_CFG, sim_cfg, out_dir=str(tmp_path / "out"), with_priors=False
+        )
+        assert res.n_scans == 10
+        assert res.ate_frontend is not None
+        # sparse VLP-16 @ 512 cols, 1 s of ~1.7 m/s motion: observed
+        # 0.16 m RMSE; regression bound ~1.6x that
+        assert res.ate_frontend.rmse < 0.25, res.to_json()
+        assert (tmp_path / "out" / "front_end_tum.txt").exists()
+        assert (tmp_path / "out" / "result.json").exists()

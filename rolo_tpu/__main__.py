@@ -20,7 +20,9 @@ def _add_run(sub):
     p = sub.add_parser("run", help="run SLAM over a scan source")
     p.add_argument("--input", required=True,
                    help="'sim' | directory of .bin/.pcd scans | .bag file")
-    p.add_argument("--config", default=None, help="reference-format params.yaml")
+    p.add_argument("--config", action="append", default=None,
+                   help="reference-format yaml; repeatable (e.g. params.yaml "
+                        "+ prior_pose_params.yaml), applied in order")
     p.add_argument("--output", default="./rolo_out", help="export directory")
     p.add_argument("--gt", default=None, help="TUM ground-truth file (dir/bag inputs)")
     p.add_argument("--topic", default=None, help="PointCloud2 topic (bag input)")
@@ -49,6 +51,11 @@ def _add_sim(sub):
 
 
 def main(argv=None) -> int:
+    from .runtime.platform import enable_compilation_cache, pin_requested_platform
+
+    pin_requested_platform()
+    enable_compilation_cache()
+
     ap = argparse.ArgumentParser(prog="rolo-tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
     _add_run(sub)

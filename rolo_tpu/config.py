@@ -363,16 +363,20 @@ def _apply_namespace(cfg: RoloConfig, ns: dict) -> RoloConfig:
     return RoloConfig(**new_sections)
 
 
-def load_config(yaml_path: Optional[str] = None, overrides: Optional[dict] = None) -> RoloConfig:
-    """Load a RoloConfig: defaults <- yaml file (reference key names) <-
-    dotted overrides like {"registration.ct_lambda": 0.5}."""
+def load_config(yaml_path=None, overrides: Optional[dict] = None) -> RoloConfig:
+    """Load a RoloConfig: defaults <- yaml file(s) (reference key names,
+    applied in order — e.g. params.yaml then a per-dataset
+    prior_pose_params.yaml, the reference's two-file layout) <- dotted
+    overrides like {"registration.ct_lambda": 0.5}."""
     cfg = RoloConfig()
     if yaml_path is not None:
         import yaml
 
-        with open(yaml_path) as f:
-            ns = yaml.safe_load(f) or {}
-        cfg = _apply_namespace(cfg, ns)
+        paths = [yaml_path] if isinstance(yaml_path, (str, bytes)) else list(yaml_path)
+        for p in paths:
+            with open(p) as f:
+                ns = yaml.safe_load(f) or {}
+            cfg = _apply_namespace(cfg, ns)
     if overrides:
         for dotted, value in overrides.items():
             parts = dotted.split(".")

@@ -130,3 +130,20 @@ def log(t: SE3) -> jnp.ndarray:
     v_inv = eye - 0.5 * omega_hat + cot_term[..., None, None] * omega_sq
     rho = jnp.einsum("...ij,...j->...i", v_inv, t.trans)
     return jnp.concatenate([omega, rho], axis=-1)
+
+
+def rigid_align(src: jnp.ndarray, dst: jnp.ndarray, weights: jnp.ndarray = None) -> SE3:
+    """Weighted Kabsch/Umeyama: the SE3 minimizing sum w |T(src) - dst|^2
+    (ComputeRigidAlignment, prior_pose_node.cpp:29-64; also the per-iteration
+    pose re-estimation inside loop-closure ICP). src, dst: [N, 3]."""
+    dtype = src.dtype
+    w = jnp.ones(src.shape[0], dtype) if weights is None else jnp.asarray(weights, dtype)
+    wsum = jnp.maximum(jnp.sum(w), 1e-9)
+    cs = jnp.einsum("n,ni->i", w, src) / wsum
+    cd = jnp.einsum("n,ni->i", w, dst) / wsum
+    h = jnp.einsum("n,ni,nj->ij", w, src - cs, dst - cd)
+    u, _, vt = jnp.linalg.svd(h)
+    d = jnp.linalg.det(vt.T @ u.T)
+    s = jnp.diag(jnp.asarray([1.0, 1.0, 1.0], dtype)).at[2, 2].set(d)
+    rot = vt.T @ s @ u.T
+    return SE3(rot, cd - rot @ cs)

@@ -335,6 +335,84 @@ def loop_closure_step(state: BackendState, cfg: RoloConfig) -> Tuple[BackendStat
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def external_loop_step(
+    state: BackendState,
+    time_cur: jnp.ndarray,
+    time_prev: jnp.ndarray,
+    cfg: RoloConfig,
+) -> Tuple[BackendState, jnp.ndarray]:
+    """Accept one externally detected loop pair given as two timestamps
+    (detectLoopClosureExternal, backMapping.cpp:2517-2570): map the times to
+    keyframe indices (earliest keyframe at/after time_cur; latest keyframe
+    at/before time_prev), reject pairs closer than
+    `history_search_time_diff`, then ICP-verify and insert the factor with
+    the RS (plain diagonal) noise convention. Returns (state, closed)."""
+    lc = cfg.loop
+    st = cfg.static
+    db = state.db
+    dtype = state.xyz.dtype
+    idx = jnp.arange(db.capacity)
+    valid = idx < db.count
+
+    # reference walks times assuming monotone keyframe stamps
+    ge = valid & (db.time >= time_cur)
+    key_cur = jnp.where(jnp.any(ge), jnp.argmax(ge), jnp.maximum(db.count - 1, 0))
+    le = valid & (db.time <= time_prev)
+    key_prev = jnp.max(jnp.where(le, idx, 0))
+
+    found = (
+        (db.count >= 2)
+        & (jnp.abs(time_cur - time_prev) >= lc.history_search_time_diff)
+        & (key_cur != key_prev)
+        & ~state.loop_matched[key_cur]
+    )
+    key_cur = key_cur.astype(jnp.int32)
+    key_prev = key_prev.astype(jnp.int32)
+
+    def try_close():
+        cur_sub = loopmod.assemble_loop_submap(
+            db, key_cur, 0, st.max_submap_points // 2, cfg.mapping.mapping_surf_leaf_size
+        )
+        prev_sub = loopmod.assemble_loop_submap(
+            db, key_prev, lc.history_search_num,
+            st.max_submap_points, cfg.mapping.mapping_surf_leaf_size,
+        )
+        factor = loopmod.verify_loop(
+            db, key_cur, key_prev, cur_sub, prev_sub, jnp.asarray(0.0, dtype),
+            max_corr_dist=lc.history_search_radius * 2.0,
+            fitness_threshold=lc.history_fitness_score, robust=False,
+        )
+        return factor._replace(accepted=factor.accepted & found)
+
+    def no_factor():
+        return loopmod.LoopFactor(
+            i=jnp.asarray(0, jnp.int32), j=jnp.asarray(0, jnp.int32),
+            rel_rot=jnp.eye(3, dtype=dtype), rel_trans=jnp.zeros(3, dtype),
+            noise_var=jnp.ones(6, dtype), robust_c=jnp.asarray(0.0, dtype),
+            accepted=jnp.asarray(False),
+        )
+
+    factor = jax.lax.cond(found, try_close, no_factor)
+    graph = state.graph
+    drop = (factor.accepted & (graph.loops.count >= graph.loops.capacity)).astype(jnp.int32)
+    graph = graph._replace(
+        loops=add_between(
+            graph.loops, factor.i, factor.j, factor.rel_rot, factor.rel_trans,
+            factor.noise_var, factor.robust_c, enable=factor.accepted,
+        )
+    )
+    matched = jnp.where(factor.accepted, state.loop_matched.at[factor.i].set(True), state.loop_matched)
+    return (
+        state._replace(
+            graph=graph, loop_matched=matched,
+            pending_solve=state.pending_solve | factor.accepted,
+            dropped_counts=state.dropped_counts.at[1].add(drop),
+        ),
+        factor.accepted,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
 def prior_step(
     state: BackendState,
     ground_now: PaddedCloud,
@@ -409,16 +487,35 @@ def prior_step(
     )
 
 
+@partial(jax.jit, static_argnames=("cfg",))
 def record_prior_observation(
-    state: BackendState, obs: priormod.PriorObservation
+    state: BackendState,
+    obs: priormod.PriorObservation,
+    obs_time: jnp.ndarray = None,
+    cfg: RoloConfig = None,
 ) -> BackendState:
     """priorInfoHandler (backMapping.cpp:459-513): link the observation to
-    the latest keyframe and store it relative to that keyframe's pose."""
+    the latest keyframe and store it relative to that keyframe's pose.
+
+    Acceptance gates (when `obs_time` is given, matching the reference):
+      - at least 10 keyframes exist (`latestKeyID <= 9` reject, :475),
+      - the observation is within 10 ms of the latest keyframe stamp (:475),
+      - at least `priorSyncedInterval` elapsed since the last accepted
+        prior (:479-488)."""
     cur = jnp.maximum(state.db.count - 1, 0)
     enable = state.db.count > 0
+    if obs_time is not None:
+        obs_time = jnp.asarray(obs_time, state.db.time.dtype)
+        synced = cfg.prior.synced_interval if cfg is not None else 0.0
+        enable = (
+            enable
+            & (state.db.count > 10)
+            & (jnp.abs(obs_time - state.db.time[cur]) < 1e-2)
+            & (obs_time - state.prior_queue.last_time >= synced)
+        )
     q = priormod.push_prior(
         state.prior_queue, obs, cur, state.db.rot[cur], state.db.trans[cur],
-        enable=enable,
+        enable=enable, obs_time=obs_time,
     )
     wrapped = (enable & obs.success & (state.prior_queue.count >= state.prior_queue.capacity)).astype(jnp.int32)
     return state._replace(

@@ -79,6 +79,7 @@ class PriorQueue(NamedTuple):
     patch_mask: jnp.ndarray  # [P, Gp]
     valid: jnp.ndarray  # [P]
     count: jnp.ndarray  # [] int32
+    last_time: jnp.ndarray  # [] stamp of the last accepted prior (rate limit)
 
     @property
     def capacity(self) -> int:
@@ -94,6 +95,7 @@ def init_queue(capacity: int, patch_capacity: int, dtype=jnp.float32) -> PriorQu
         patch_mask=jnp.zeros((capacity, patch_capacity), bool),
         valid=jnp.zeros((capacity,), bool),
         count=jnp.asarray(0, jnp.int32),
+        last_time=jnp.asarray(-jnp.inf, dtype),
     )
 
 
@@ -104,6 +106,7 @@ def push_prior(
     linked_rot: jnp.ndarray,
     linked_trans: jnp.ndarray,
     enable: jnp.ndarray = True,
+    obs_time: jnp.ndarray = None,
 ) -> PriorQueue:
     """priorInfoHandler (backMapping.cpp:459-513): store the prior relative
     to its linked keyframe's pose at observation time. Ring-buffer
@@ -111,6 +114,8 @@ def push_prior(
     rel = SE3(linked_rot, linked_trans).inverse().compose(SE3(obs.rot, obs.trans))
     idx = q.count % q.capacity
     ok = jnp.asarray(enable) & obs.success
+    if obs_time is None:
+        obs_time = q.last_time
 
     def upd(arr, val):
         return jnp.where(ok, arr.at[idx].set(val), arr)
@@ -123,6 +128,7 @@ def push_prior(
         patch_mask=upd(q.patch_mask, obs.patch_mask),
         valid=upd(q.valid, True),
         count=jnp.where(ok, q.count + 1, q.count),
+        last_time=jnp.where(ok, jnp.asarray(obs_time, q.last_time.dtype), q.last_time),
     )
 
 

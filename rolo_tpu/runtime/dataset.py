@@ -154,9 +154,16 @@ def frames_from_dir(path: str, rate_hz: float = 10.0) -> Iterator[_Frame]:
             if rel is not None and rel.dtype.kind in "ui":  # Ouster t: nanoseconds
                 rel = (rel.astype(np.float64) * 1e-9).astype(np.float32)
         stem = os.path.splitext(os.path.basename(fp))[0]
-        try:
-            stamp = float(stem)
-        except ValueError:
+        # Filenames are timestamps only when they look like seconds
+        # (fractional part or epoch-length digits); KITTI-style frame
+        # indices ("000001") must fall through to synthesized stamps,
+        # else intervals come out 10x wrong and break CT scaling.
+        if "." in stem or len(stem.lstrip("0") or "0") >= 10:
+            try:
+                stamp = float(stem)
+            except ValueError:
+                stamp = i / rate_hz
+        else:
             stamp = i / rate_hz
         yield _Frame(stamp, pts, ring=ring, rel_time=rel)
 

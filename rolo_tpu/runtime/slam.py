@@ -101,6 +101,11 @@ class SlamSystem:
         self.drop_counts = dict.fromkeys(_DROP_CATEGORIES, 0)
         self._warned_drops = set()
 
+        # externally injected loop pairs, (time_cur, time_prev) raw stamps
+        # (the loop_info Float64MultiArray input of
+        # detectLoopClosureExternal, backMapping.cpp:2517-2570)
+        self._external_loops: List[tuple] = []
+
         # trajectory logs (host side)
         self.times: List[float] = []
         self.front_positions: List[np.ndarray] = []
@@ -142,6 +147,13 @@ class SlamSystem:
         cap = 1 << int(np.ceil(np.log2(max(len(points), 1))))
         cloud = PaddedCloud.from_points(points, cap)
         self.ground_map = prior_ground.GroundMap(cloud.xyz, cloud.mask)
+
+    def inject_loop(self, time_cur: float, time_prev: float) -> None:
+        """Queue an externally detected loop pair by raw timestamps — the
+        `loop_info` std_msgs input of detectLoopClosureExternal
+        (backMapping.cpp:2517-2570). Verified by ICP at the next
+        loop-closure tick."""
+        self._external_loops.append((float(time_cur), float(time_prev)))
 
     def _make_raw_scan(self, points: np.ndarray, ring: Optional[np.ndarray], rel_time: Optional[np.ndarray]) -> RawScan:
         cfg = self.cfg
@@ -242,6 +254,17 @@ class SlamSystem:
         if cfg.loop.enable and stamp - self._last_loop_time >= 1.0 / cfg.loop.frequency_hz:
             self._last_loop_time = stamp
             with self.timers.stage("loop_closure"):
+                # externally injected pairs are tried first, one per pass
+                # (performRSLoopClosure order, backMapping.cpp:2331-2336)
+                if self._external_loops:
+                    t_cur, t_prev = self._external_loops.pop(0)
+                    self.backend_state, ext_closed = backend.external_loop_step(
+                        self.backend_state,
+                        jnp.asarray(t_cur - self._epoch, jnp.float32),
+                        jnp.asarray(t_prev - self._epoch, jnp.float32),
+                        cfg,
+                    )
+                    out["loop_closed_external"] = bool(ext_closed)
                 self.backend_state, closed = backend.loop_closure_step(self.backend_state, cfg)
                 out["loop_closed"] = bool(closed)
 
@@ -306,7 +329,10 @@ class SlamSystem:
             self.ground_map, self.vehicle, world_pos[0], world_pos[1], yaw, cfg.prior, 2048
         )
         if bool(obs.success):
-            self.backend_state = backend.record_prior_observation(self.backend_state, obs)
+            self.backend_state = backend.record_prior_observation(
+                self.backend_state, obs,
+                obs_time=jnp.asarray(self._last_stamp, jnp.float32), cfg=cfg,
+            )
 
         # association against the current keyframe: the live ground cloud is
         # approximated by the ground-map patch around the current pose (the

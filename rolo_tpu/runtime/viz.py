@@ -73,6 +73,104 @@ def plot_trajectory(
     return True
 
 
+def export_factor_graph(slam, path: str) -> dict:
+    """Structured factor-graph dump — the headless analog of
+    publishGlobalGraph's node/axis/edge/factor MarkerArray
+    (backMapping.cpp:1667-1900). JSON with keyframe nodes (pose + stamp),
+    the odometry chain, loop edges (with noise + robust kernel), and prior
+    factors; written to `path`, returned for in-process inspection."""
+    import json
+
+    from ..geometry import so3
+
+    st = slam.backend_state
+    k = int(st.db.count)
+    nodes = []
+    for i in range(k):
+        import jax.numpy as jnp
+
+        q = np.asarray(so3.matrix_to_quat(jnp.asarray(np.asarray(st.db.rot[i]))))
+        nodes.append({
+            "id": i,
+            "time": float(st.db.time[i]),
+            "xyz": np.asarray(st.db.trans[i]).round(4).tolist(),
+            "quat_wxyz": q.round(5).tolist(),
+        })
+
+    def edges_of(f, with_noise=True):
+        out = []
+        for n in range(int(f.count)):
+            e = {"i": int(f.i[n]), "j": int(f.j[n])}
+            if with_noise:
+                e["noise_var"] = np.asarray(f.noise_var[n]).round(6).tolist()
+                e["robust_c"] = float(f.robust_c[n])
+            out.append(e)
+        return out
+
+    graph = {
+        "nodes": nodes,
+        "odom_edges": [{"i": i - 1, "j": i} for i in range(1, k)],
+        "loop_edges": edges_of(st.graph.loops),
+        "prior_factors": edges_of(st.graph.priors),
+        "drop_counts": dict(slam.drop_counts),
+    }
+    with open(path, "w") as f:
+        json.dump(graph, f, indent=2)
+    return graph
+
+
+def export_prior_observability(slam, out_dir: str) -> int:
+    """Prior-stack observability (the bounding-box + stacked-patch markers,
+    backMapping.cpp:2253-2304): every stored prior patch as one PLY (green)
+    with its xy bounding boxes in prior_boxes.json. Returns #priors."""
+    import json
+
+    q = slam.backend_state.prior_queue
+    n = int(min(int(q.count), q.capacity))
+    pts_all, boxes = [], []
+    for i in range(n):
+        mask = np.asarray(q.patch_mask[i])
+        pts = np.asarray(q.patch_xyz[i])[mask]
+        if not len(pts):
+            continue
+        pts_all.append(pts)
+        lo, hi = pts.min(axis=0), pts.max(axis=0)
+        boxes.append({
+            "prior": i,
+            "linked_key": int(q.linked_key[i]),
+            "min": lo.round(3).tolist(),
+            "max": hi.round(3).tolist(),
+        })
+    if pts_all:
+        allp = np.concatenate(pts_all)
+        color = np.tile(np.array([[60, 200, 60]], np.uint8), (len(allp), 1))
+        write_ply(os.path.join(out_dir, "prior_patches.ply"), allp, color)
+    with open(os.path.join(out_dir, "prior_boxes.json"), "w") as f:
+        json.dump(boxes, f, indent=2)
+    return n
+
+
+def vehicle_outline(vehicle, rot: np.ndarray, trans: np.ndarray) -> np.ndarray:
+    """Vehicle footprint polyline at a world pose — the headless analog of
+    the mesh/model markers (prior_pose_node.cpp:238-286). The canonical
+    box is rigidly aligned to the wheel contact points with weighted Kabsch
+    (ComputeRigidAlignment, :29-64), then closed into a loop."""
+    import jax.numpy as jnp
+
+    from ..geometry.se3 import SE3, rigid_align
+
+    wheels_b = np.asarray(vehicle.wheel_points_body)  # [W, 3]
+    # canonical unit box corners in wheel order (closed loop)
+    canon = np.asarray(
+        [[-0.5, 0.5, 0.0], [0.5, 0.5, 0.0], [0.5, -0.5, 0.0], [-0.5, -0.5, 0.0]],
+        np.float32,
+    )[: wheels_b.shape[0]]
+    align = rigid_align(jnp.asarray(canon), jnp.asarray(wheels_b, np.float32))
+    body = np.asarray(align.apply(jnp.asarray(canon)))
+    world = body @ np.asarray(rot).T + np.asarray(trans)
+    return np.concatenate([world, world[:1]], axis=0)
+
+
 def export_run(slam, out_dir: str) -> None:
     """One-call artifact dump for a SlamSystem: trajectory plot, loop
     segments, and the global map as PLY (height-colored)."""
@@ -105,3 +203,11 @@ def export_run(slam, out_dir: str) -> None:
         zr = (z - z.min()) / max(float(z.max() - z.min()), 1e-6)
         color = np.stack([255 * zr, 64 + 0 * zr, 255 * (1 - zr)], axis=-1)
         write_ply(os.path.join(out_dir, "global_map.ply"), pts, color)
+
+    export_factor_graph(slam, os.path.join(out_dir, "factor_graph.json"))
+    export_prior_observability(slam, out_dir)
+    if k:
+        outline = vehicle_outline(
+            slam.vehicle, np.asarray(st.db.rot[k - 1]), np.asarray(st.db.trans[k - 1])
+        )
+        write_ply(os.path.join(out_dir, "vehicle_outline.ply"), outline)

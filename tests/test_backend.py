@@ -219,6 +219,67 @@ class TestPriorStep:
         assert int(st2.graph.priors.count) == 0
 
 
+class TestRecordPriorGates:
+    """priorInfoHandler acceptance gates (backMapping.cpp:475-488): >=10
+    keyframes, 10 ms sync to the latest keyframe, priorSyncedInterval rate
+    limit."""
+
+    def _setup(self, n_keyframes, synced_interval=0.0):
+        from rolo_tpu.config import PriorConfig
+        from rolo_tpu.mapping.keyframes import add_keyframe
+        from rolo_tpu.prior import association, ground, vehicle
+
+        cfg = dataclasses.replace(
+            SMALL, prior=PriorConfig(synced_interval=synced_interval,
+                                     tolerance_roll=0.5, tolerance_pitch=0.5),
+        )
+        pts = TestPriorStep._plane_ground()
+        gm = ground.GroundMap(jnp.asarray(pts), jnp.ones(len(pts), bool))
+        vm = vehicle.from_config(cfg.prior)
+        st = backend.init_backend(cfg)
+        dummy = PaddedCloud.from_points(pts[:64], cfg.static.max_corner_points)
+        dummy_s = PaddedCloud.from_points(pts[:64], cfg.static.max_surf_points)
+        db = st.db
+        for i in range(n_keyframes):
+            db = add_keyframe(db, _se3(np.eye(3), [float(i), 0.0, 1.0]),
+                              jnp.asarray(float(i)), dummy, dummy_s)
+        st = st._replace(db=db)
+        obs = association.compute_prior(
+            gm, vm, jnp.asarray(2.0), jnp.asarray(0.0), jnp.asarray(0.0),
+            cfg.prior, st.prior_queue.patch_xyz.shape[1],
+        )
+        assert bool(obs.success)
+        return st, obs, cfg
+
+    def test_requires_ten_keyframes(self):
+        st, obs, cfg = self._setup(n_keyframes=5)
+        st2 = backend.record_prior_observation(st, obs, obs_time=jnp.asarray(4.0), cfg=cfg)
+        assert int(st2.prior_queue.count) == 0
+
+    def test_requires_keyframe_sync(self):
+        st, obs, cfg = self._setup(n_keyframes=12)
+        # latest keyframe at t=11; observation 0.5 s later -> rejected
+        st2 = backend.record_prior_observation(st, obs, obs_time=jnp.asarray(11.5), cfg=cfg)
+        assert int(st2.prior_queue.count) == 0
+        # synced observation -> accepted
+        st3 = backend.record_prior_observation(st, obs, obs_time=jnp.asarray(11.0), cfg=cfg)
+        assert int(st3.prior_queue.count) == 1
+
+    def test_rate_limit(self):
+        st, obs, cfg = self._setup(n_keyframes=12, synced_interval=5.0)
+        st = backend.record_prior_observation(st, obs, obs_time=jnp.asarray(11.0), cfg=cfg)
+        assert int(st.prior_queue.count) == 1
+        # same-stamp second observation: inside the 5 s interval -> rejected
+        st = backend.record_prior_observation(st, obs, obs_time=jnp.asarray(11.004), cfg=cfg)
+        assert int(st.prior_queue.count) == 1
+
+    def test_no_time_means_no_gates(self):
+        # legacy path (no obs_time): only the count>0 gate applies
+        st, obs, cfg = self._setup(n_keyframes=2)
+        st2 = backend.record_prior_observation(st, obs)
+        assert int(st2.prior_queue.count) == 1
+
+
 def _se3(rot, trans):
     from rolo_tpu.geometry.se3 import SE3
 
@@ -256,3 +317,52 @@ class TestLoopClosure:
         # after the loop, a solve happened or is pending
         assert (not bool(st.pending_solve)) or bool(st.pending_solve)
         assert np.all(np.isfinite(np.asarray(st.db.trans)))
+
+
+class TestExternalLoop:
+    """detectLoopClosureExternal analog (backMapping.cpp:2517-2570):
+    timestamps -> keyframe indices -> ICP verify -> factor."""
+
+    def _out_and_back(self):
+        xs = list(np.linspace(0, 6, 7)) + list(np.linspace(6, 0.2, 7))
+        poses = [(0.0, np.array([x, 0.0, 0.0], np.float32)) for x in xs]
+        # detection disabled: only the injected pair may close
+        cfg = dataclasses.replace(SMALL, loop=dataclasses.replace(SMALL.loop, enable=False))
+        st, _ = _run_sequence(poses, cfg=cfg)
+        return st, cfg
+
+    def test_injected_pair_closes(self):
+        st, cfg = self._out_and_back()
+        n_before = int(st.graph.loops.count)
+        st, closed = backend.external_loop_step(
+            st, jnp.asarray(13.0, jnp.float32), jnp.asarray(0.0, jnp.float32), cfg
+        )
+        assert bool(closed)
+        assert int(st.graph.loops.count) == n_before + 1
+        i = int(st.graph.loops.i[n_before])
+        j = int(st.graph.loops.j[n_before])
+        assert i != j
+        # cur index maps near the final keyframe, prev near the first
+        assert float(st.db.time[i]) >= 12.0
+        assert float(st.db.time[j]) <= 1.0
+        assert bool(st.pending_solve)
+
+    def test_too_close_in_time_rejected(self):
+        st, cfg = self._out_and_back()
+        st, closed = backend.external_loop_step(
+            st, jnp.asarray(13.0, jnp.float32), jnp.asarray(12.0, jnp.float32), cfg
+        )
+        assert not bool(closed)
+        assert int(st.graph.loops.count) == 0
+
+    def test_already_matched_rejected(self):
+        st, cfg = self._out_and_back()
+        st, closed = backend.external_loop_step(
+            st, jnp.asarray(13.0, jnp.float32), jnp.asarray(0.0, jnp.float32), cfg
+        )
+        assert bool(closed)
+        st, closed2 = backend.external_loop_step(
+            st, jnp.asarray(13.0, jnp.float32), jnp.asarray(0.0, jnp.float32), cfg
+        )
+        assert not bool(closed2)
+        assert int(st.graph.loops.count) == 1

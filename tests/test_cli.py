@@ -64,6 +64,23 @@ class TestConfigTpuNamespace:
         with pytest.raises(ValueError, match="statics"):
             load_config(str(p))
 
+    def test_two_file_layering(self):
+        """Reference layout: params.yaml + per-dataset prior_pose_params.yaml
+        applied in order (config/M2UD/prior_pose_params.yaml analog)."""
+        cfg = load_config([
+            "configs/params.yaml",
+            "configs/prior_pose_params.yaml",
+            "configs/m2ud/prior_pose_params.yaml",
+        ])
+        assert cfg.prior.vehicle_com_z == 0.18
+        assert cfg.prior.wheel_xy == ((-0.4, 0.25), (0.4, 0.25), (0.4, -0.25), (-0.4, -0.25))
+        assert cfg.prior.lidar_offset_trans == (0.0, 0.0, 0.27)
+        assert cfg.prior.synced_interval == 1.0
+        # master prior_factor values survive where not overridden
+        assert cfg.prior.factor_weight == 5000.0
+        # rolo params from the base file survive
+        assert cfg.sensor.n_scan == 32
+
 
 class TestCli:
     def test_sim_then_run_dir(self, tmp_path, capsys):

@@ -119,3 +119,23 @@ class TestSE3:
         T = SE3.from_xyzrpy(jnp.asarray(vec))
         back = np.asarray(T.to_xyzrpy())
         np.testing.assert_allclose(back, vec, atol=1e-5)
+
+    def test_rigid_align_recovers_transform(self):
+        """Kabsch (ComputeRigidAlignment analog): exact recovery of an
+        applied rigid transform from noiseless correspondences."""
+        w = random_rotvecs(1)[0]
+        rot = so3.exp(jnp.asarray(w))
+        t = jnp.asarray(np.array([0.5, -1.2, 2.0], np.float32))
+        src = jnp.asarray(RNG.standard_normal((40, 3)).astype(np.float32))
+        dst = src @ rot.T + t
+        est = se3.rigid_align(src, dst)
+        np.testing.assert_allclose(np.asarray(est.rot), np.asarray(rot), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(est.trans), np.asarray(t), atol=1e-5)
+
+    def test_rigid_align_weights_ignore_outliers(self):
+        src = jnp.asarray(RNG.standard_normal((20, 3)).astype(np.float32))
+        dst = src + jnp.asarray([1.0, 0.0, 0.0])
+        dst = dst.at[0].set(jnp.asarray([100.0, 100.0, 100.0]))
+        w = jnp.ones(20).at[0].set(0.0)
+        est = se3.rigid_align(src, dst, w)
+        np.testing.assert_allclose(np.asarray(est.trans), [1.0, 0.0, 0.0], atol=1e-4)

@@ -248,6 +248,30 @@ class TestViz:
         header = open(os.path.join(out, "global_map.ply")).read(200)
         assert header.startswith("ply")
 
+        # factor-graph dump (publishGlobalGraph analog)
+        import json
+
+        graph = json.load(open(os.path.join(out, "factor_graph.json")))
+        k = int(slam.backend_state.db.count)
+        assert len(graph["nodes"]) == k
+        assert len(graph["odom_edges"]) == k - 1
+        assert "loop_edges" in graph and "prior_factors" in graph
+        # prior observability + vehicle outline artifacts
+        assert os.path.exists(os.path.join(out, "prior_boxes.json"))
+        assert os.path.exists(os.path.join(out, "vehicle_outline.ply"))
+
+    def test_vehicle_outline_closed_loop(self):
+        from rolo_tpu.prior import vehicle as veh
+        from rolo_tpu.config import PriorConfig
+        from rolo_tpu.runtime.viz import vehicle_outline
+
+        vm = veh.from_config(PriorConfig())
+        outline = vehicle_outline(vm, np.eye(3), np.array([1.0, 2.0, 0.5]))
+        assert outline.shape == (5, 3)
+        np.testing.assert_allclose(outline[0], outline[-1])
+        # centered on the pose in xy
+        np.testing.assert_allclose(outline[:4].mean(axis=0)[:2], [1.0, 2.0], atol=1e-5)
+
     def test_write_ply_roundtrip_count(self, tmp_path):
         from rolo_tpu.runtime.viz import write_ply
 

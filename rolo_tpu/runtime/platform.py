@@ -1,0 +1,47 @@
+"""Platform plumbing shared by the CLI, bench, and tools.
+
+Two environment quirks this handles (see tests/conftest.py and
+.claude-era driver notes):
+  - a sitecustomize may force-register a remote TPU backend and rewrite the
+    jax_platforms *config*, silently overriding an explicit
+    JAX_PLATFORMS=cpu request — `pin_requested_platform` restores the
+    user's choice;
+  - first-compile latency dominates short runs (the raycast simulator,
+    featurizer, and registration programs take minutes to build) —
+    `enable_compilation_cache` turns on JAX's persistent cache so repeat
+    invocations (bench reruns, CI, the driver) skip compilation entirely.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def pin_requested_platform() -> None:
+    """Honor an explicit JAX_PLATFORMS env request even when a plugin
+    rewrote the config after import."""
+    import jax
+
+    req = os.environ.get("JAX_PLATFORMS", "")
+    if req and "axon" not in req:
+        jax.config.update("jax_platforms", req)
+
+
+def enable_compilation_cache(cache_dir: str = None) -> str:
+    """Enable the persistent compilation cache (idempotent). Returns the
+    cache directory used."""
+    import jax
+
+    cache_dir = cache_dir or os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "rolo_tpu_jax"),
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # cache everything regardless of compile time / program size
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # older jax without these knobs
+    return cache_dir

@@ -40,6 +40,11 @@ class StageTimers:
     def record(self, name: str, seconds: float) -> None:
         self._samples[name].append(seconds)
 
+    def reset(self) -> None:
+        """Drop accumulated samples (e.g. to exclude compile-heavy warmup
+        scans from a steady-state measurement)."""
+        self._samples.clear()
+
     def summary(self) -> Dict[str, Dict[str, float]]:
         """{stage: {count, mean_ms, p50_ms, p95_ms, max_ms, total_s}}."""
         out = {}

@@ -68,27 +68,33 @@ def make_scene(cfg: SimConfig) -> Scene:
 def generate_sequence(cfg: SimConfig, scene: Optional[Scene] = None) -> Iterator[SimFrame]:
     """Yield scans at `scan_rate_hz`. Each scan's columns are raycast from
     the sensor pose at their own capture time (motion distortion); the
-    reported ground truth is the pose at sweep start."""
+    reported ground truth is the pose at sweep start.
+
+    The whole per-scan computation (trajectory sampling + raycast + noise)
+    is ONE jitted program: with a remote-tunneled device, per-op eager
+    dispatch latency would otherwise dominate generation by ~100x."""
     scene = make_scene(cfg) if scene is None else scene
     model = _model(cfg)
     period_s = 1.0 / cfg.scan_rate_hz
-    key = jax.random.PRNGKey(cfg.seed)
-
-    traj = lambda t: loop_trajectory_pose(
-        scene, t, radius_x=cfg.radius_x, radius_y=cfg.radius_y,
-        period=cfg.period, sensor_height=cfg.sensor_height,
-    )
-
     col_frac = jnp.arange(cfg.n_cols) / cfg.n_cols
-    for i in range(cfg.n_scans):
-        t0 = i * period_s
+
+    @jax.jit
+    def one_scan(t0, key):
+        traj = lambda t: loop_trajectory_pose(
+            scene, t, radius_x=cfg.radius_x, radius_y=cfg.radius_y,
+            period=cfg.period, sensor_height=cfg.sensor_height,
+        )
         col_times = t0 + col_frac * period_s
         col_rot, col_trans = traj(col_times)
-        key, sub = jax.random.split(key)
-        scan = simulate_scan(scene, model, col_rot, col_trans, sub, scan_period=period_s)
+        scan = simulate_scan(scene, model, col_rot, col_trans, key, scan_period=period_s)
+        gt_rot, gt_trans = traj(t0)
+        return scan, gt_rot, gt_trans
 
+    keys = jax.random.split(jax.random.PRNGKey(cfg.seed), cfg.n_scans)
+    for i in range(cfg.n_scans):
+        t0 = i * period_s
+        scan, gt_rot, gt_trans = one_scan(jnp.asarray(t0, jnp.float32), keys[i])
         mask = np.asarray(scan.mask)
-        gt_rot, gt_trans = traj(jnp.asarray(t0))
         yield SimFrame(
             stamp=t0,
             points=np.asarray(scan.xyz)[mask],

@@ -1,0 +1,82 @@
+"""A/B accuracy studies on simulated sequences: quantify what each
+subsystem buys (the evidence VERDICT-style reviews ask for instead of
+"documented but unproven" deviations).
+
+Variants (vs a shared baseline run):
+  - deskew on/off          (imageProjection deskew path, weak item 8)
+  - loop closure on/off    (SC+RS factor convention, weak item 6)
+  - priors on/off          (ground-contact factors)
+
+Each variant runs the FULL SlamSystem over the same raycast sequence (real
+motion distortion, uneven terrain, one loop revisit) and reports frontend +
+keyframe ATE. Writes AB_STUDY.json.
+
+Usage (TPU): python tools/ab_study.py [--scans 300] [--cols 1024]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scans", type=int, default=300)
+    ap.add_argument("--cols", type=int, default=1024)
+    ap.add_argument("--period", type=float, default=24.0)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--variants", default="baseline,deskew,no_loops,no_priors")
+    ap.add_argument("--out", default="AB_STUDY.json")
+    args = ap.parse_args()
+
+    from rolo_tpu.runtime.platform import enable_compilation_cache, pin_requested_platform
+
+    pin_requested_platform()
+    enable_compilation_cache()
+
+    from rolo_tpu.config import LoopConfig, PriorConfig, RoloConfig
+    from rolo_tpu.runtime.dataset import run_simulated
+    from rolo_tpu.sim import SimConfig
+
+    sim = SimConfig(n_scans=args.scans, n_cols=args.cols, sensor="velodyne32",
+                    period=args.period, seed=args.seed)
+    base = RoloConfig()
+
+    def variant_cfg(name):
+        if name == "baseline":
+            return base, True
+        if name == "deskew":
+            return base.replace(
+                sensor=dataclasses.replace(base.sensor, deskew_enabled=True)
+            ), True
+        if name == "no_loops":
+            return base.replace(loop=dataclasses.replace(base.loop, enable=False)), True
+        if name == "no_priors":
+            return base, False
+        raise ValueError(name)
+
+    results = {}
+    for name in args.variants.split(","):
+        cfg, with_priors = variant_cfg(name)
+        t0 = time.perf_counter()
+        res = run_simulated(cfg, sim, with_priors=with_priors, progress_every=50)
+        row = res.to_json()
+        row["variant_wall_s"] = round(time.perf_counter() - t0, 1)
+        results[name] = row
+        print(f"[{name}] " + json.dumps(row))
+
+    out = {"sim": dataclasses.asdict(sim), "results": results}
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"wrote {args.out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

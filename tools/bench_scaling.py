@@ -41,15 +41,12 @@ def main() -> None:
     ap.add_argument("--out", default="SCALING.json")
     args = ap.parse_args()
 
+    from rolo_tpu.runtime.platform import enable_compilation_cache, pin_requested_platform
+
+    pin_requested_platform()
+    enable_compilation_cache()
+
     import jax
-
-    # this environment's sitecustomize force-registers the remote axon TPU
-    # backend and rewrites the jax_platforms *config*; honor an explicit
-    # JAX_PLATFORMS=cpu request (see tests/conftest.py)
-    req = os.environ.get("JAX_PLATFORMS", "")
-    if req and "axon" not in req:
-        jax.config.update("jax_platforms", req)
-
     import jax.numpy as jnp
     import numpy as np
 

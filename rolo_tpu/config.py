@@ -91,6 +91,11 @@ class MappingConfig:
     surrounding_keyframe_search_radius: float = 50.0
     surrounding_keyframe_recency_sec: float = 10.0  # backMapping.cpp:600-608
     scan2map_max_iterations: int = 30  # backMapping.cpp:692
+    # Iterations between correspondence re-searches in scan2map. The
+    # reference rebinds every iteration (=1); the 5-NN is >80% of the TPU
+    # iteration cost while mapping refinement moves the pose sub-cm, so 5
+    # is a ~4x backend speedup at equal linearization count (TPU knob).
+    scan2map_rebind_every: int = 5
     degeneracy_eigen_threshold: float = 100.0  # backMapping.cpp:1006-1035
     # Submap assembly keeps the nearest N eligible keyframes (the fixed-size
     # stand-in for the reference's 2 m pose-set voxel downsample,

@@ -214,7 +214,16 @@ def verify_loop(
     pose_from = SE3(icp.rot, icp.trans).compose(t_cur)  # corrected cur pose
     rel = pose_from.inverse().compose(t_prev)  # poseFrom.between(poseTo)
 
-    accepted = icp.converged & (icp.fitness < fitness_threshold) & (cur_key != prev_key)
+    # pcl's hasConverged() is also true when the iteration budget runs out
+    # (DefaultConvergenceCriteria CONVERGENCE_CRITERIA_ITERATIONS), so the
+    # reference's `hasConverged() == false` reject (backMapping.cpp:2446)
+    # only fires on degenerate runs — gate on the fitness score, not on the
+    # epsilon test (f32 ICP can oscillate at its floor without meeting 1e-6).
+    accepted = (
+        jnp.isfinite(icp.fitness)
+        & (icp.fitness < fitness_threshold)
+        & (cur_key != prev_key)
+    )
     noise = jnp.full((6,), jnp.maximum(icp.fitness, 1e-6), dtype)
     return LoopFactor(
         i=cur_key.astype(jnp.int32),

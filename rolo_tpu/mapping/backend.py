@@ -149,6 +149,7 @@ def backend_step(
             sub_c, sub_s, max_iterations=m.scan2map_max_iterations,
             degeneracy_threshold=m.degeneracy_eigen_threshold,
             chunk=st.knn_query_chunk,
+            rebind_every=m.scan2map_rebind_every,
         )
         return res.rpy, res.trans, res.degenerate, res.iterations, res.num_factors
 

@@ -146,6 +146,31 @@ SIM_SLAM_CFG = RoloConfig(
 )
 
 
+class TestDeskewAB:
+    """Deskew must measurably improve accuracy on motion-distorted sweeps
+    (the simulator raycasts each azimuth column from its own capture-time
+    pose). Round-1 review: 'no test shows deskew improves anything'."""
+
+    def test_deskew_improves_ate(self):
+        import dataclasses
+
+        from rolo_tpu.runtime.dataset import run_simulated
+
+        sim_cfg = SimConfig(
+            n_scans=10, n_cols=512, sensor="velodyne16", period=60.0,
+            noise_std=0.015, dropout=0.03, seed=0,
+        )
+        res_off = run_simulated(SIM_SLAM_CFG, sim_cfg, with_priors=False)
+        cfg_on = SIM_SLAM_CFG.replace(
+            sensor=dataclasses.replace(SIM_SLAM_CFG.sensor, deskew_enabled=True)
+        )
+        res_on = run_simulated(cfg_on, sim_cfg, with_priors=False)
+        # observed 0.316 -> 0.157 m; require a real (>20%) improvement
+        assert res_on.ate_frontend.rmse < 0.8 * res_off.ate_frontend.rmse, (
+            res_on.ate_frontend.rmse, res_off.ate_frontend.rmse,
+        )
+
+
 class TestEndToEndSim:
     """Golden-trajectory smoke regression: the full SlamSystem over raycast
     scans with exact GT. Longer/looped runs live in tools/run via the CLI;

@@ -111,6 +111,10 @@ def main() -> None:
     from rolo_tpu.runtime import metrics
     est = np.asarray(slam.front_positions)
     ate = metrics.ate(est, gt[: est.shape[0]])
+    kt, kp, _ = slam.keyframe_trajectory()
+    stamps = np.asarray([f.stamp for f in frames])
+    ia, ib = metrics.associate_by_time(np.asarray(kt), stamps, max_diff=0.05)
+    ate_kf = metrics.ate(kp[ia], gt[ib]) if len(ia) >= 3 else None
 
     stage = {k: round(v["mean_ms"], 3) for k, v in slam.timers.summary().items()}
 
@@ -128,6 +132,7 @@ def main() -> None:
         "priors_enabled": bool(use_priors),
         "stage_mean_ms": stage,
         "ate_frontend_rmse_m": round(ate.rmse, 4),
+        "ate_keyframes_rmse_m": round(ate_kf.rmse, 4) if ate_kf else None,
         "frontend_flops_per_step": flops,
         "frontend_mfu_vs_peak": round(mfu, 5),
         "peak_tflops_assumed": args.peak_tflops,

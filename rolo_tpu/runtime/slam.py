@@ -114,13 +114,15 @@ class SlamSystem:
         self.mapped_quats: List[np.ndarray] = []
 
         if cfg.sensor.deskew_enabled:
-            # rotation-only deskew from the last odometry increment
-            # (deskewCloudInfo/deskewPoint, imageProjection.cpp:266-396)
+            # full deskew from the last odometry increment
+            # (deskewCloudInfo/deskewPoint, imageProjection.cpp:266-396,
+            # plus the translational correction the reference zeroes)
             self._project = jax.jit(
-                lambda scan, rpy, diff: project_scan(
+                lambda scan, rpy, vel, diff: project_scan(
                     scan, cfg.sensor.n_scan, cfg.sensor.horizon_scan,
                     cfg.sensor.lidar_min_range, cfg.sensor.lidar_max_range,
-                    cfg.sensor.downsample_rate, deskew_rpy=rpy, odom_time_diff=diff,
+                    cfg.sensor.downsample_rate, deskew_rpy=rpy,
+                    odom_time_diff=diff, deskew_vel=vel,
                 )
             )
         else:
@@ -131,6 +133,33 @@ class SlamSystem:
                     cfg.sensor.downsample_rate,
                 )
             )
+        @jax.jit
+        def _deskew_increment(odom_state, fusion_state, interval):
+            """Deskew increment for the upcoming sweep, in the step
+            convention (step maps prev->cur frame; projection applies
+            -rpy * ratio and +vel * ratio).
+
+            Feeding the raw last registration step back into deskew is
+            unstable: a step error warps the next scan, which biases the
+            next step — measured gain > 1, diverging to a limit cycle of
+            about one sweep-rotation (AB_STUDY round-2 deskew variant). The
+            ESKF-smoothed body rates/velocity (constant-jerk prior tempering
+            the measurement stream, filter/eskf.py) break that loop."""
+            f = fusion_state.filter
+            use_filter = f.initialized
+            # step_rot ~ Exp(-omega dt) (omega is the body rate of
+            # rot' = rot Exp(dt omega)); displacement in the sweep-start
+            # frame ~ R^T vel dt
+            rot_f = so3.exp(-f.omega * interval)
+            vel_f = (f.rot.T @ f.vel) * interval
+            rot_o = odom_state.step_rot
+            vel_o = -odom_state.step_rot.T @ odom_state.step_trans
+            rot = jnp.where(use_filter, rot_f, rot_o)
+            vel = jnp.where(use_filter, vel_f, vel_o)
+            return jnp.stack(so3.matrix_to_rpy(rot)), vel
+
+        self._deskew_increment = _deskew_increment
+
         self._extract = jax.jit(
             lambda ring: feats.extract_features(
                 ring, cfg.features.edge_threshold, cfg.features.surf_threshold,
@@ -199,9 +228,12 @@ class SlamSystem:
             scan = self._make_raw_scan(points, ring, rel_time)
         with self.timers.stage("project+features"):
             if cfg.sensor.deskew_enabled:
-                step_rpy = jnp.stack(so3.matrix_to_rpy(self.odom_state.step_rot))
+                step_rpy, step_vel = self._deskew_increment(
+                    self.odom_state, self.fusion_state,
+                    jnp.asarray(interval, jnp.float32),
+                )
                 ring_img = self._project(
-                    scan, step_rpy, jnp.asarray(interval, jnp.float32)
+                    scan, step_rpy, step_vel, jnp.asarray(interval, jnp.float32)
                 )
             else:
                 ring_img = self._project(scan)

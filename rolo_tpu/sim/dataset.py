@@ -43,6 +43,9 @@ class SimConfig:
     noise_std: float = 0.02
     dropout: float = 0.05
     max_range: float = 100.0
+    # False raycasts every column from the sweep-start pose (no motion
+    # distortion) — the control condition for deskew/accuracy studies
+    motion_distortion: bool = True
 
 
 class SimFrame(NamedTuple):
@@ -85,7 +88,12 @@ def generate_sequence(cfg: SimConfig, scene: Optional[Scene] = None) -> Iterator
             period=cfg.period, sensor_height=cfg.sensor_height,
         )
         col_times = t0 + col_frac * period_s
-        col_rot, col_trans = traj(col_times)
+        if cfg.motion_distortion:
+            col_rot, col_trans = traj(col_times)
+        else:
+            r0, tr0 = traj(t0)
+            col_rot = jnp.broadcast_to(r0, (cfg.n_cols, 3, 3))
+            col_trans = jnp.broadcast_to(tr0, (cfg.n_cols, 3))
         scan = simulate_scan(scene, model, col_rot, col_trans, key, scan_period=period_s)
         gt_rot, gt_trans = traj(t0)
         return scan, gt_rot, gt_trans

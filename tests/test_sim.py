@@ -165,8 +165,10 @@ class TestDeskewAB:
             sensor=dataclasses.replace(SIM_SLAM_CFG.sensor, deskew_enabled=True)
         )
         res_on = run_simulated(cfg_on, sim_cfg, with_priors=False)
-        # observed 0.316 -> 0.157 m; require a real (>20%) improvement
-        assert res_on.ate_frontend.rmse < 0.8 * res_off.ate_frontend.rmse, (
+        # observed 0.316 -> 0.24 m with the ESKF-sourced increments (the
+        # raw-feedback source reached 0.16 here but diverges at speed);
+        # require a real (>10%) improvement
+        assert res_on.ate_frontend.rmse < 0.9 * res_off.ate_frontend.rmse, (
             res_on.ate_frontend.rmse, res_off.ate_frontend.rmse,
         )
 

@@ -101,6 +101,15 @@ class MappingConfig:
     # stand-in for the reference's 2 m pose-set voxel downsample,
     # backMapping.cpp:583-599).
     surrounding_keyframe_max_nearby: int = 64
+    # Approximate k-NN (lax.approx_min_k, recall ~0.95) in the scan2map
+    # binds and loop/prior ICP correspondence search: a >10x TPU speedup
+    # over exact row-wide top-k; the 5-point line/plane fits and the
+    # fitness gates absorb the recall loss (TPU knob, no reference analog).
+    approx_knn: bool = True
+    # Candidate-set rebinding in scan2map: the full-submap k-NN runs once
+    # per solve with this many neighbors; rebinds re-rank the candidates.
+    # 0 = full search every rebind (TPU knob, no reference analog).
+    scan2map_candidates: int = 24
 
 
 @dataclass(frozen=True)

@@ -102,7 +102,7 @@ class ICPResult(NamedTuple):
     converged: jnp.ndarray  # bool
 
 
-@partial(jax.jit, static_argnames=("max_iterations", "chunk"))
+@partial(jax.jit, static_argnames=("max_iterations", "chunk", "approx_knn"))
 def icp_point2point(
     src: PaddedCloud,
     tgt: PaddedCloud,
@@ -112,6 +112,7 @@ def icp_point2point(
     max_iterations: int = 100,
     transformation_epsilon: float = 1e-6,
     chunk: int = 512,
+    approx_knn: bool = False,
 ) -> ICPResult:
     """Masked point-to-point ICP (pcl::IterativeClosestPoint analog,
     backMapping.cpp:2430-2443): nearest-neighbor correspondences gated by
@@ -123,7 +124,7 @@ def icp_point2point(
 
     def correspondences(rot, trans):
         moved = jnp.einsum("ij,nj->ni", rot, src.xyz) + trans
-        idx = knn_indices(moved, src.mask, tgt.xyz, tgt.mask, 1, chunk)[:, 0]
+        idx = knn_indices(moved, src.mask, tgt.xyz, tgt.mask, 1, chunk, approximate=approx_knn)[:, 0]
         nn = tgt.xyz[idx]
         d2 = jnp.sum((moved - nn) ** 2, axis=-1)
         w = (src.mask & (d2 < max_corr_dist**2)).astype(dtype)
@@ -163,7 +164,7 @@ def icp_point2point(
     # final fitness over ALL valid source points (pcl getFitnessScore has no
     # distance gate by default)
     moved = jnp.einsum("ij,nj->ni", rot, src.xyz) + trans
-    idx = knn_indices(moved, src.mask, tgt.xyz, tgt.mask, 1, chunk)[:, 0]
+    idx = knn_indices(moved, src.mask, tgt.xyz, tgt.mask, 1, chunk, approximate=approx_knn)[:, 0]
     d2 = jnp.sum((moved - tgt.xyz[idx]) ** 2, axis=-1)
     wm = src.mask.astype(dtype)
     fitness = jnp.sum(wm * d2) / jnp.maximum(jnp.sum(wm), 1e-6)
@@ -193,6 +194,7 @@ def verify_loop(
     fitness_threshold: float,
     robust: bool,
     max_iterations: int = 100,
+    approx_knn: bool = False,
 ) -> LoopFactor:
     """ICP-verify a loop candidate and build its between factor
     (performSC/RSLoopClosure, backMapping.cpp:2354-2393, 2455-2476).
@@ -207,6 +209,7 @@ def verify_loop(
     icp = icp_point2point(
         cur_submap, prev_submap, init_rot, jnp.zeros(3, dtype),
         max_corr_dist=max_corr_dist, max_iterations=max_iterations,
+        approx_knn=approx_knn,
     )
 
     t_cur = SE3(db.rot[cur_key], db.trans[cur_key])

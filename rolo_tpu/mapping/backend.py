@@ -150,6 +150,8 @@ def backend_step(
             degeneracy_threshold=m.degeneracy_eigen_threshold,
             chunk=st.knn_query_chunk,
             rebind_every=m.scan2map_rebind_every,
+            approx_knn=m.approx_knn,
+            n_candidates=m.scan2map_candidates,
         )
         return res.rpy, res.trans, res.degenerate, res.iterations, res.num_factors
 
@@ -277,6 +279,7 @@ def loop_closure_step(state: BackendState, cfg: RoloConfig) -> Tuple[BackendStat
             state.db, cur, prev_idx, cur_sub, prev_sub, init_yaw,
             max_corr_dist=(150.0 if robust else lc.history_search_radius * 2.0),
             fitness_threshold=lc.history_fitness_score, robust=robust,
+            approx_knn=cfg.mapping.approx_knn,
         )
         return factor._replace(accepted=factor.accepted & found)
 
@@ -382,6 +385,7 @@ def external_loop_step(
             db, key_cur, key_prev, cur_sub, prev_sub, jnp.asarray(0.0, dtype),
             max_corr_dist=lc.history_search_radius * 2.0,
             fitness_threshold=lc.history_fitness_score, robust=False,
+            approx_knn=cfg.mapping.approx_knn,
         )
         return factor._replace(accepted=factor.accepted & found)
 
@@ -460,6 +464,7 @@ def prior_step(
             jnp.asarray(True),
             state.db.rot[linked], state.db.trans[linked],
             cur, cur_rot, cur_trans, ground_now, cfg.prior,
+            approx_knn=cfg.mapping.approx_knn,
         )
 
     def no_match():

@@ -70,6 +70,38 @@ class SurfBindings(NamedTuple):
     valid: jnp.ndarray  # [N]
 
 
+def nn_candidates(
+    pts: jnp.ndarray,
+    mask: jnp.ndarray,
+    submap: PaddedCloud,
+    rot: jnp.ndarray,
+    trans: jnp.ndarray,
+    n_cand: int,
+    chunk: int = 512,
+    approx_knn: bool = False,
+) -> jnp.ndarray:
+    """Per-point candidate neighbor set: the n_cand nearest submap points at
+    the current pose. Computed ONCE per scan2map solve; later rebinds
+    re-rank only these candidates (the pose moves sub-cm between mapping
+    refinement steps, so the true 5-NN stays inside the candidate set) —
+    this replaces the reference's full kd-tree re-search every iteration
+    (backMapping.cpp:736, :843) with one full search + cheap re-ranks."""
+    world = jnp.einsum("ij,nj->ni", rot, pts) + trans
+    return knn_indices(world, mask, submap.xyz, submap.mask, n_cand, chunk,
+                       approximate=approx_knn)
+
+
+def _top5_from_candidates(
+    world: jnp.ndarray, cand_idx: jnp.ndarray, submap: PaddedCloud
+) -> jnp.ndarray:
+    """Exact 5-NN among the candidate set: [N, C] distances + tiny top-k."""
+    cand = submap.xyz[cand_idx]  # [N, C, 3]
+    d2 = jnp.sum((cand - world[:, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(submap.mask[cand_idx], d2, jnp.inf)
+    _, sel = jax.lax.top_k(-d2, 5)  # [N, 5]
+    return jnp.take_along_axis(cand_idx, sel, axis=1)
+
+
 def corner_bind(
     pts: jnp.ndarray,
     mask: jnp.ndarray,
@@ -77,11 +109,18 @@ def corner_bind(
     rot: jnp.ndarray,
     trans: jnp.ndarray,
     chunk: int = 512,
+    approx_knn: bool = False,
+    cand_idx: jnp.ndarray = None,
 ) -> CornerBindings:
     """5-NN + PCA line fit (cornerOptimization, backMapping.cpp:720-824) —
-    the expensive binding half, done once per rebind round."""
+    the expensive binding half, done once per rebind round. With cand_idx
+    [N, C] the 5-NN is re-ranked from the candidate set instead of searched
+    over the full submap."""
     world = jnp.einsum("ij,nj->ni", rot, pts) + trans
-    idx = knn_indices(world, mask, submap.xyz, submap.mask, 5, chunk)
+    if cand_idx is not None:
+        idx = _top5_from_candidates(world, cand_idx, submap)
+    else:
+        idx = knn_indices(world, mask, submap.xyz, submap.mask, 5, chunk, approximate=approx_knn)
     neigh = submap.xyz[idx]  # [N, 5, 3]
     d2 = jnp.sum((neigh - world[:, None, :]) ** 2, axis=-1)
     near_ok = jnp.max(d2, axis=1) < 1.0  # pointSearchSqDis[4] < 1.0
@@ -118,11 +157,16 @@ def surf_bind(
     rot: jnp.ndarray,
     trans: jnp.ndarray,
     chunk: int = 512,
+    approx_knn: bool = False,
+    cand_idx: jnp.ndarray = None,
 ) -> SurfBindings:
     """5-NN + least-squares plane fit (surfOptimization,
     backMapping.cpp:827-902) — binding half."""
     world = jnp.einsum("ij,nj->ni", rot, pts) + trans
-    idx = knn_indices(world, mask, submap.xyz, submap.mask, 5, chunk)
+    if cand_idx is not None:
+        idx = _top5_from_candidates(world, cand_idx, submap)
+    else:
+        idx = knn_indices(world, mask, submap.xyz, submap.mask, 5, chunk, approximate=approx_knn)
     neigh = submap.xyz[idx]
     d2 = jnp.sum((neigh - world[:, None, :]) ** 2, axis=-1)
     near_ok = jnp.max(d2, axis=1) < 1.0
@@ -202,7 +246,7 @@ def _gn_normal_eqs(factors: FactorSet, rpy: jnp.ndarray, xyz: jnp.ndarray):
     return ata, atb
 
 
-@partial(jax.jit, static_argnames=("max_iterations", "chunk", "rebind_every"))
+@partial(jax.jit, static_argnames=("max_iterations", "chunk", "rebind_every", "approx_knn", "n_candidates"))
 def scan2map_optimize(
     rpy0: jnp.ndarray,
     xyz0: jnp.ndarray,
@@ -217,6 +261,8 @@ def scan2map_optimize(
     min_factors: int = 50,
     chunk: int = 512,
     rebind_every: int = 5,
+    approx_knn: bool = False,
+    n_candidates: int = 16,
 ) -> Scan2MapResult:
     """Iterative GN scan-to-submap alignment (scan2MapOptimization loop,
     backMapping.cpp:692-705). rpy0/xyz0: initial guess (transformTobeMapped
@@ -227,23 +273,47 @@ def scan2map_optimize(
     >80% of the iteration cost on TPU while the pose moves sub-cm between
     mapping refinement steps, so binding every few iterations buys a ~4x
     backend speedup at equal linearization count. The line/plane fits are
-    frozen with their bindings (they depend only on the bound neighbors)."""
+    frozen with their bindings (they depend only on the bound neighbors).
+
+    n_candidates: when > 5, the full-submap search runs ONCE at the initial
+    pose with this many neighbors per point; every rebind then re-ranks the
+    candidate set ([N, C] distances + tiny top-k) instead of searching the
+    submap again — rebinds become ~free and the whole solve costs one full
+    k-NN + max_iterations cheap evals. 0 disables candidate reuse (full
+    search every rebind — the reference's exact behavior)."""
     dtype = xyz0.dtype
     eye6 = jnp.eye(6, dtype=dtype)
+    use_cand = bool(n_candidates) and n_candidates > 5
+
+    rot0 = so3.rpy_to_matrix(rpy0[0], rpy0[1], rpy0[2])
+    if use_cand:
+        cand_c = nn_candidates(corner_pts, corner_mask, submap_corner, rot0, xyz0,
+                               n_candidates, chunk, approx_knn)
+        cand_s = nn_candidates(surf_pts, surf_mask, submap_surf, rot0, xyz0,
+                               n_candidates, chunk, approx_knn)
+    else:
+        cand_c = cand_s = None
 
     def rebind(rpy, xyz):
         rot = so3.rpy_to_matrix(rpy[0], rpy[1], rpy[2])
-        cb = corner_bind(corner_pts, corner_mask, submap_corner, rot, xyz, chunk)
-        sb = surf_bind(surf_pts, surf_mask, submap_surf, rot, xyz, chunk)
+        cb = corner_bind(corner_pts, corner_mask, submap_corner, rot, xyz, chunk,
+                         approx_knn, cand_idx=cand_c)
+        sb = surf_bind(surf_pts, surf_mask, submap_surf, rot, xyz, chunk,
+                       approx_knn, cand_idx=cand_s)
         return cb, sb
 
+    # With a candidate set, a rebind is a cheap re-rank — run it every
+    # iteration (the reference's exact per-iteration re-search semantics,
+    # restricted to the candidates). Without one, rebind on the schedule.
     def body(state):
         rpy, xyz, cb, sb, proj, degen, it, conv, nfac = state
+        rebound_now = (it > 0) & (use_cand | (it % rebind_every == 0))
         cb, sb = jax.lax.cond(
-            (it > 0) & (it % rebind_every == 0),
+            rebound_now,
             lambda: rebind(rpy, xyz),
             lambda: (cb, sb),
         )
+        fresh = rebound_now | (it == 0)
         rot = so3.rpy_to_matrix(rpy[0], rpy[1], rpy[2])
         cf = corner_eval(cb, corner_pts, rot, xyz)
         sf = surf_eval(sb, surf_pts, rot, xyz)
@@ -274,7 +344,10 @@ def scan2map_optimize(
 
         delta_r = jnp.rad2deg(jnp.linalg.norm(x[:3]))
         delta_t = 100.0 * jnp.linalg.norm(x[3:])
-        conv = ((delta_r < 0.05) & (delta_t < 0.05)) | ~enough
+        # only a FRESHLY-bound linearization may declare convergence: a tiny
+        # step against stale correspondences means the pose stopped moving
+        # relative to frozen lines/planes, not that it is aligned
+        conv = ((delta_r < 0.05) & (delta_t < 0.05) & fresh) | ~enough
         return (rpy, xyz, cb, sb, proj, degen, it + 1, conv, nfac)
 
     def cond(state):

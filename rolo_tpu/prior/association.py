@@ -156,7 +156,7 @@ class PriorFactor(NamedTuple):
     accepted: jnp.ndarray  # bool
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_icp_iterations"))
+@partial(jax.jit, static_argnames=("cfg", "max_icp_iterations", "approx_knn"))
 def associate_prior(
     q_entry_rel_rot: jnp.ndarray,
     q_entry_rel_trans: jnp.ndarray,
@@ -171,6 +171,7 @@ def associate_prior(
     ground_now: PaddedCloud,
     cfg: PriorConfig = PriorConfig(),
     max_icp_iterations: int = 100,
+    approx_knn: bool = False,
 ) -> PriorFactor:
     """performPriorAssociation inner match (backMapping.cpp:1981-2143) for
     one queue entry against the current keyframe:
@@ -199,6 +200,7 @@ def associate_prior(
     icp = icp_point2point(
         q_entry_patch, ground_now, jnp.eye(3, dtype=dtype), jnp.zeros(3, dtype),
         max_corr_dist=cfg.ground_patch_size, max_iterations=max_icp_iterations,
+        approx_knn=approx_knn,
     )
     fit_ok = icp.converged & (icp.fitness < cfg.fitness_score)
 

@@ -14,6 +14,7 @@ from .backend import (
     loop_closure_step,
     prior_step,
     record_prior_observation,
+    solve_graph_host,
 )
 from .scan2map import (
     FactorSet,
@@ -32,6 +33,7 @@ __all__ = [
     "loop_closure_step",
     "prior_step",
     "record_prior_observation",
+    "solve_graph_host",
     "KeyframeDB",
     "init_db",
     "add_keyframe",

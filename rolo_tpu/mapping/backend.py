@@ -35,7 +35,7 @@ from ..loop import scancontext as sc
 from ..pointcloud.cloud import PaddedCloud
 from ..pointcloud.features import voxel_downsample
 from ..prior import association as priormod
-from .keyframes import KeyframeDB, add_keyframe, extract_submap, init_db, should_add_keyframe, update_poses
+from .keyframes import KeyframeDB, add_keyframe, extract_submap, init_db, should_add_keyframe
 from .scan2map import constrain_transform, scan2map_optimize
 
 
@@ -207,23 +207,15 @@ def backend_step(
         lambda a, b: jnp.where(add, b, a), state.scdb, sc.add_descriptor(state.scdb, desc)
     )
 
-    # --- conditional pose-graph solve + correctPoses (:1115-1137, :1287) --
-    def solve(db, graph):
-        sol = solve_pose_graph(graph, db.rot, db.trans, db.count)
-        db = update_poses(db, sol.rot, sol.trans)
-        return db, jnp.asarray(False)
-
-    def no_solve(db, graph):
-        return db, state.pending_solve & ~add  # keep pending until a keyframe lands
-
-    db, pending = jax.lax.cond(state.pending_solve & add, solve, no_solve, db, graph)
-
-    # transformTobeMapped <- latest estimate (:1165-1171)
-    latest = jnp.maximum(db.count - 1, 0)
-    corrected = SE3(db.rot[latest], db.trans[latest])
-    use_corr = add
-    out_rot = jnp.where(use_corr, corrected.rot, pose.rot)
-    out_trans = jnp.where(use_corr, corrected.trans, pose.trans)
+    # Pose-graph solve moved OUT of the jitted step: the runtime calls
+    # solve_graph_host (bucketed dense GN) when pending_solve & keyframe
+    # added — the reference's isam->update + correctPoses sequence
+    # (:1115-1137, :1287) also runs on the keyframe path. Keeping the solve
+    # out of the step lets the solve compile at the smallest capacity
+    # bucket covering the live pose count instead of the full 2048.
+    pending = state.pending_solve
+    out_rot = pose.rot
+    out_trans = pose.trans
     roll, pitch, yaw = so3.matrix_to_rpy(out_rot)
 
     dropped = add & (state.db.count >= st.max_keyframes)
@@ -246,6 +238,57 @@ def backend_step(
         degenerate=degen, s2m_iterations=iters, num_factors=nfac,
         keyframe_dropped=dropped,
     )
+
+
+# Capacity buckets for the host-driven graph solve: the dense GN re-solve
+# compiles per bucket, and a run with k keyframes only ever pays for the
+# smallest bucket >= k (a 256-pose dense solve is ~1 ms; the full 2048
+# bucket only compiles if a run actually grows that far).
+_SOLVE_BUCKETS = (64, 128, 256, 512, 1024, 2048)
+
+
+@partial(jax.jit, static_argnames=())
+def _apply_solution(state: BackendState, sol_rot, sol_trans) -> BackendState:
+    """Write a bucket's solved poses back into the full-capacity DB and
+    refresh transformTobeMapped from the latest estimate (correctPoses +
+    backMapping.cpp:1165-1171)."""
+    b = sol_rot.shape[0]
+    db = state.db
+    valid = (jnp.arange(b) < db.count)
+    rot = db.rot.at[:b].set(jnp.where(valid[:, None, None], sol_rot, db.rot[:b]))
+    trans = db.trans.at[:b].set(jnp.where(valid[:, None], sol_trans, db.trans[:b]))
+    db = db._replace(rot=rot, trans=trans)
+    latest = jnp.maximum(db.count - 1, 0)
+    roll, pitch, yaw = so3.matrix_to_rpy(db.rot[latest])
+    return state._replace(
+        db=db,
+        rpy=jnp.stack([roll, pitch, yaw]),
+        xyz=db.trans[latest],
+        pending_solve=jnp.asarray(False),
+    )
+
+
+def solve_graph_host(state: BackendState, cfg: RoloConfig = None) -> BackendState:
+    """Host-driven pose-graph solve + correctPoses (backMapping.cpp:
+    1115-1137, 1287-1320): slice the graph/DB to the smallest capacity
+    bucket covering the live keyframe count, run the dense GN re-solve,
+    and scatter the corrected poses back. Called by the runtime when
+    `pending_solve` and a keyframe just landed."""
+    count = int(state.db.count)
+    if count < 1:
+        return state._replace(pending_solve=jnp.asarray(False))
+    cap = state.db.capacity
+    bucket = next((b for b in _SOLVE_BUCKETS if b >= count and b <= cap), cap)
+    g = state.graph
+    g_b = g._replace(
+        odom_rel_rot=g.odom_rel_rot[:bucket],
+        odom_rel_trans=g.odom_rel_trans[:bucket],
+    )
+    sol = solve_pose_graph(
+        g_b, state.db.rot[:bucket], state.db.trans[:bucket], state.db.count,
+        method="dense",
+    )
+    return _apply_solution(state, sol.rot, sol.trans)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -273,11 +273,22 @@ class SlamSystem:
                     self.backend_state, fc.corners, fc.surfaces, sc_cloud,
                     front_rot, front_trans, jnp.asarray(True), jnp.asarray(stamp), cfg,
                 )
+            mapped_rot, mapped_trans = map_out.rot, map_out.trans
+            # pose-graph solve + correctPoses on the keyframe path
+            # (isam->update ×2 + correctPoses, backMapping.cpp:1115-1137,
+            # :1287-1320): host-driven so it compiles at the smallest
+            # capacity bucket covering the live pose count.
+            if bool(map_out.keyframe_added) and bool(self.backend_state.pending_solve):
+                with self.timers.stage("graph_solve"):
+                    self.backend_state = backend.solve_graph_host(self.backend_state, cfg)
+                latest = int(self.backend_state.db.count) - 1
+                mapped_rot = self.backend_state.db.rot[latest]
+                mapped_trans = self.backend_state.db.trans[latest]
             self.fusion_state = fusion.on_mapping_odometry(
-                self.fusion_state, map_out.rot, map_out.trans, front_rot, front_trans
+                self.fusion_state, mapped_rot, mapped_trans, front_rot, front_trans
             )
-            out["mapped_rot"] = np.asarray(map_out.rot)
-            out["mapped_trans"] = np.asarray(map_out.trans)
+            out["mapped_rot"] = np.asarray(mapped_rot)
+            out["mapped_trans"] = np.asarray(mapped_trans)
             out["keyframe_added"] = bool(map_out.keyframe_added)
             self.mapped_positions.append(out["mapped_trans"])
             self.mapped_quats.append(np.asarray(so3.matrix_to_quat(map_out.rot)))

@@ -221,3 +221,74 @@ class TestScaleVsOracle:
         in_err = np.linalg.norm(est_trans - true_trans, axis=1).max()
         out_err = np.linalg.norm(np.asarray(sol.trans) - true_trans, axis=1).max()
         assert out_err < 0.2 * in_err, (out_err, in_err)
+
+
+class TestDenseMethod:
+    """The dense blocked-Cholesky solve (method="dense") must agree with the
+    matrix-free PCG path — it is the production method used by
+    mapping.backend.solve_graph_host (round-3 backend speedup)."""
+
+    def test_dense_matches_pcg_with_loop(self):
+        graph, true, rot_est, trans_est, n = build_square_trajectory()
+        rel = true[n - 1].inverse().compose(true[0])
+        graph = graph._replace(loops=add_between(
+            graph.loops, n - 1, 0, rel.rot, rel.trans,
+            jnp.full(6, 1e-4), robust_c=jnp.asarray(0.1)))
+        sol_d = solve_pose_graph(graph, rot_est, trans_est, jnp.asarray(n),
+                                 gn_iterations=10, method="dense")
+        sol_p = solve_pose_graph(graph, rot_est, trans_est, jnp.asarray(n),
+                                 gn_iterations=10, method="pcg")
+        assert np.allclose(np.asarray(sol_d.trans[:n]), np.asarray(sol_p.trans[:n]),
+                           atol=5e-3), np.abs(np.asarray(sol_d.trans[:n]) - np.asarray(sol_p.trans[:n])).max()
+        err = np.linalg.norm(
+            np.asarray(sol_d.trans[n - 1]) - np.asarray(true[n - 1].trans))
+        assert err < 0.05, err
+
+    def test_dense_inactive_poses_fixed(self):
+        graph, true, rot_est, trans_est, n = build_square_trajectory()
+        sol = solve_pose_graph(graph, rot_est, trans_est, jnp.asarray(n),
+                               gn_iterations=3, method="dense")
+        assert np.allclose(np.asarray(sol.trans[n:]), np.asarray(trans_est[n:]))
+
+
+class TestSolveGraphHost:
+    """Bucketed host-driven solve (mapping.backend.solve_graph_host): the
+    smallest capacity bucket covering the live count is compiled, poses are
+    corrected in the full-capacity DB, and pending_solve clears."""
+
+    def test_bucketed_solve_corrects_and_clears(self):
+        import dataclasses
+        from rolo_tpu.config import RoloConfig, StaticConfig
+        from rolo_tpu.mapping import backend as bk
+        from rolo_tpu.mapping.keyframes import add_keyframe
+        from rolo_tpu.pointcloud.cloud import PaddedCloud
+
+        cfg = RoloConfig(static=StaticConfig(
+            max_keyframes=256, max_corner_points=64, max_surf_points=64,
+            max_submap_points=256, max_loop_factors=8, max_prior_factors=8))
+        st = bk.init_backend(cfg)
+        graph, true, rot_est, trans_est, n = build_square_trajectory(k_cap=256)
+        db = st.db
+        cloud = PaddedCloud(jnp.zeros((64, 3)), jnp.zeros(64, bool))
+        for i in range(n):
+            db = add_keyframe(db, se3.SE3(rot_est[i], trans_est[i]),
+                              jnp.asarray(float(i)), cloud, cloud)
+        st = st._replace(db=db, graph=st.graph._replace(
+            odom_rel_rot=graph.odom_rel_rot, odom_rel_trans=graph.odom_rel_trans,
+            first_rot=graph.first_rot, first_trans=graph.first_trans),
+            pending_solve=jnp.asarray(True))
+        rel = true[n - 1].inverse().compose(true[0])
+        st = st._replace(graph=st.graph._replace(loops=add_between(
+            st.graph.loops, n - 1, 0, rel.rot, rel.trans, jnp.full(6, 1e-4))))
+
+        st2 = bk.solve_graph_host(st, cfg)
+        assert not bool(st2.pending_solve)
+        err = np.linalg.norm(
+            np.asarray(st2.db.trans[n - 1]) - np.asarray(true[n - 1].trans))
+        drift = np.linalg.norm(
+            np.asarray(st.db.trans[n - 1]) - np.asarray(true[n - 1].trans))
+        assert err < 0.3 * drift, (err, drift)
+        # transformTobeMapped refreshed from the corrected latest pose
+        assert np.allclose(np.asarray(st2.xyz), np.asarray(st2.db.trans[n - 1]))
+        # untouched capacity tail
+        assert np.allclose(np.asarray(st2.db.trans[n:]), np.asarray(st.db.trans[n:]))

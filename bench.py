@@ -145,7 +145,7 @@ def main():
     print(f"accuracy: rot_err median {np.median(rot_err_deg):.2f} deg, "
           f"trans_err median {np.median(trans_err):.3f} m", file=sys.stderr)
     assert np.median(rot_err_deg) < 2.0, "registration diverged; bench invalid"
-    assert np.median(trans_err) < 0.30, "registration diverged; bench invalid"
+    assert np.median(trans_err) < 0.10, "registration diverged; bench invalid"
 
     # Device-resident measurement: chain `iters` dependent batches inside
     # one program (a production deployment keeps the loop on device; a

@@ -74,6 +74,20 @@ class RegistrationConfig:
     # free on TPU (hash gathers), so >1 round recovers large / cold-start
     # translations; 1 reproduces the reference exactly.
     ct_rebind_rounds: int = 4
+    # Rotation/translation alternation rounds (TPU knob, no reference
+    # analog — the reference runs one rotation then one translation solve,
+    # lidarOdometry.cpp:448-501). At zero/cold initial guess the
+    # rotation-only stage absorbs part of the unmodeled translation
+    # (~2 deg / ~0.1 m systematic undershoot along motion on the bench
+    # workload); a second alternation removes it. 1 = reference flow.
+    alt_rounds: int = 2
+    # Fine translation stage: after the polar CT solve, re-solve the
+    # translation against a UNIFORM voxel map at this resolution with
+    # direct7 neighbors (TPU knob). The polar grid's 2 m radial bins are
+    # built for rotation alignment; their voxel-mean quantization floors
+    # translation accuracy at ~0.1-0.2 m. 0 disables (reference flow).
+    ct_fine_resolution: float = 0.25
+    ct_fine_neighbors: str = "direct7"
 
 
 @dataclass(frozen=True)
@@ -210,8 +224,14 @@ class StaticConfig:
     max_extracted_points: int = 32768
     max_corner_points: int = 4096
     max_surf_points: int = 12288
-    max_feature_points: int = 16384  # corner + surf stacked
-    max_voxels: int = 16384
+    # Front-end feature capacity: sized for the main 32-beam/1024-col
+    # config (observed ~5.5k valid features/scan; concat_clouds compacts
+    # valid-first and truncates overflow). Dense sensors (Ouster-64@2048)
+    # raise this via the per-dataset tpu: config namespace. Join/linearize
+    # cost scales with capacity^2, so headroom is not free (16384 -> 8192
+    # halves the front-end step).
+    max_feature_points: int = 8192  # corner + surf stacked
+    max_voxels: int = 8192
     max_keyframes: int = 2048
     max_submap_points: int = 65536
     max_loop_factors: int = 256

@@ -31,9 +31,8 @@ import jax.numpy as jnp
 from ..config import RegistrationConfig
 from ..geometry import so3 as _so3
 from ..geometry.se3 import SE3
-from ..registration import gicp, lm
+from ..registration.rotgicp import register_features
 from ..voxel.knn import estimate_cov6
-from ..voxel.voxelmap import build_voxel_map
 
 
 class OdometryState(NamedTuple):
@@ -104,37 +103,17 @@ def scan_step(
     new_cov = estimate_cov6(new_xyz, new_mask, k=k, method=cfg.regularization)
 
     # --- registration against the previous scan ------------------------
+    # forward prediction seeds the TOTAL step translation (:459 transforms
+    # the cloud; register_features carries the total internally)
     guess = forward_predict(state.step_trans, state.last_interval, interval)
-    src_xyz = state.prev_xyz + guess  # translation-propagated old features (:459)
-
-    polar_res = (
-        jnp.asarray(cfg.polar_resolution, dtype) if cfg.voxel_type == "polar" else None
+    res = register_features(
+        state.prev_xyz, state.prev_mask, state.prev_cov,
+        new_xyz, new_mask, new_cov,
+        guess, state.trans_old, interval, state.last_interval,
+        cfg, voxel_capacity,
     )
-    vmap = build_voxel_map(
-        new_xyz, new_cov, new_mask, voxel_capacity,
-        polar_res=polar_res, resolution=cfg.voxel_resolution,
-    )
-    ctx = gicp.make_context(
-        src_xyz, state.prev_mask, state.prev_cov, vmap,
-        polar_res=polar_res, resolution=cfg.voxel_resolution,
-        neighbor_search=cfg.neighbor_search,
-    )
-    rot_res = lm.lm_register_rotation(
-        ctx, jnp.eye(3, dtype=dtype), jnp.zeros(3, dtype=dtype),
-        max_outer=cfg.max_outer_iterations, max_inner=cfg.lm_max_inner_iterations,
-        rot_eps=cfg.rotation_epsilon, trans_eps=cfg.transformation_epsilon,
-        init_lambda_factor=cfg.lm_init_lambda_factor,
-    )
-    ct_res = lm.lm_translation_rebind(
-        ctx, rot_res.rot, jnp.zeros(3, dtype=dtype),
-        guess, state.trans_old, interval, state.last_interval, cfg.ct_lambda,
-        rebind_rounds=cfg.ct_rebind_rounds,
-        max_outer=cfg.max_outer_iterations, max_inner=cfg.lm_max_inner_iterations,
-        trans_eps=cfg.transformation_epsilon,
-        init_lambda_factor=cfg.lm_init_lambda_factor,
-    )
-    step_rot = rot_res.rot
-    step_trans = guess + ct_res.trans  # Translation += Reg_translation (:500)
+    step_rot = res.rot
+    step_trans = res.trans  # total step: new ~ R prev + t (:500)
 
     # First frame: no registration, identity step (:526-533).
     first = ~state.initialized
@@ -175,8 +154,8 @@ def scan_step(
         pose_trans=pose.trans,
         step_rot=step_rot,
         step_trans=step_trans,
-        rot_error=rot_res.error,
-        converged=rot_res.converged & ct_res.converged,
+        rot_error=res.rot_error,
+        converged=res.converged,
         failure=failure,
     )
     return new_state, out

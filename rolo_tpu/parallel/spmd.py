@@ -43,6 +43,7 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from ..config import RegistrationConfig
+from ..ops import sym3
 from ..registration import gicp, lm
 from ..registration.rotgicp import ScanPairResult
 from ..voxel.knn import estimate_cov6
@@ -98,11 +99,13 @@ def register_scan_pair_spmd(
 ) -> ScanPairResult:
     """One rot-GICP scan-pair registration with the point axis sharded.
 
-    Same contract as registration.rotgicp.register_scan_pair (src_xyz
-    pre-translated by the forward prediction, lidarOdometry.cpp:459); the
-    source/target point counts must be divisible by the mesh axis size.
-    Results are replicated across devices and numerically match the
-    single-device path up to reduction reassociation (psum order).
+    Same contract as registration.rotgicp.register_scan_pair (raw source
+    features + `init_translation` = forward-predicted step; returns the
+    TOTAL step transform) and the same alternating rotation/translation +
+    fine-stage flow (rotgicp.register_features); the source/target point
+    counts must be divisible by the mesh axis size. Results are replicated
+    across devices and numerically match the single-device path up to
+    reduction reassociation (psum order).
     """
     n_src = src_xyz.shape[0]
     n_tgt = tgt_xyz.shape[0]
@@ -156,34 +159,70 @@ def register_scan_pair_spmd(
             tgt, tgt_cov, tmask, voxel_capacity,
             polar_res=polar_res, resolution=cfg.voxel_resolution,
         )
-        ctx = gicp.make_context(
-            src, smask, src_cov, vmap,
-            polar_res=polar_res, resolution=cfg.voxel_resolution,
-            neighbor_search=cfg.neighbor_search,
-        )
+        # alternating rotation/translation (rotgicp.register_features) with
+        # local-shard contexts; the psum'd reducers make each linearization
+        # globally exact
+        eye = jnp.eye(3, dtype=dtype)
+        rot = eye
+        t = init_t
+        for _ in range(max(int(cfg.alt_rounds), 1)):
+            ctx_r = gicp.make_context(
+                src + (rot.T @ t)[None, :], smask, src_cov, vmap,
+                polar_res=polar_res, resolution=cfg.voxel_resolution,
+                neighbor_search=cfg.neighbor_search,
+            )
+            rot_res = lm.lm_register_rotation(
+                ctx_r, rot, jnp.zeros(3, dtype=dtype),
+                max_outer=cfg.max_outer_iterations,
+                max_inner=cfg.lm_max_inner_iterations,
+                rot_eps=cfg.rotation_epsilon,
+                trans_eps=cfg.transformation_epsilon,
+                init_lambda_factor=cfg.lm_init_lambda_factor,
+                linearize_fn=so3_lin, error_fn=err_fn,
+            )
+            rot = rot_res.rot
+            ctx_t = gicp.make_context(
+                src @ rot.T, smask, sym3.congruence(rot, src_cov), vmap,
+                polar_res=polar_res, resolution=cfg.voxel_resolution,
+                neighbor_search=cfg.neighbor_search,
+            )
+            ct_res = lm.lm_translation_rebind(
+                ctx_t, eye, t,
+                jnp.zeros(3, dtype=dtype), last_t, dtn, dtn1, cfg.ct_lambda,
+                rebind_rounds=cfg.ct_rebind_rounds,
+                max_outer=cfg.max_outer_iterations,
+                max_inner=cfg.lm_max_inner_iterations,
+                trans_eps=cfg.transformation_epsilon,
+                init_lambda_factor=cfg.lm_init_lambda_factor,
+                ct_linearize_fn=ct_lin, ct_error_fn=ct_err,
+            )
+            t = ct_res.trans
 
-        rot_res = lm.lm_register_rotation(
-            ctx, jnp.eye(3, dtype=dtype), jnp.zeros(3, dtype=dtype),
-            max_outer=cfg.max_outer_iterations,
-            max_inner=cfg.lm_max_inner_iterations,
-            rot_eps=cfg.rotation_epsilon,
-            trans_eps=cfg.transformation_epsilon,
-            init_lambda_factor=cfg.lm_init_lambda_factor,
-            linearize_fn=so3_lin, error_fn=err_fn,
-        )
-        ct_res = lm.lm_translation_rebind(
-            ctx, rot_res.rot, jnp.zeros(3, dtype=dtype),
-            init_t, last_t, dtn, dtn1, cfg.ct_lambda,
-            rebind_rounds=cfg.ct_rebind_rounds,
-            max_outer=cfg.max_outer_iterations,
-            max_inner=cfg.lm_max_inner_iterations,
-            trans_eps=cfg.transformation_epsilon,
-            init_lambda_factor=cfg.lm_init_lambda_factor,
-            ct_linearize_fn=ct_lin, ct_error_fn=ct_err,
-        )
+        if cfg.ct_fine_resolution > 0:
+            vmap_f = build_voxel_map(
+                tgt, tgt_cov, tmask, voxel_capacity,
+                polar_res=None, resolution=cfg.ct_fine_resolution,
+            )
+            ctx_f = gicp.make_context(
+                src @ rot.T, smask, sym3.congruence(rot, src_cov), vmap_f,
+                polar_res=None, resolution=cfg.ct_fine_resolution,
+                neighbor_search=cfg.ct_fine_neighbors,
+            )
+            ct_res = lm.lm_translation_rebind(
+                ctx_f, eye, t,
+                jnp.zeros(3, dtype=dtype), last_t, dtn, dtn1, cfg.ct_lambda,
+                rebind_rounds=cfg.ct_rebind_rounds,
+                max_outer=cfg.max_outer_iterations,
+                max_inner=cfg.lm_max_inner_iterations,
+                trans_eps=cfg.transformation_epsilon,
+                init_lambda_factor=cfg.lm_init_lambda_factor,
+                ct_linearize_fn=ct_lin, ct_error_fn=ct_err,
+            )
+            t = ct_res.trans
+
         return ScanPairResult(
-            rot=rot_res.rot,
-            trans=init_t + ct_res.trans,
+            rot=rot,
+            trans=t,
             rot_error=rot_res.error,
             ct_error=ct_res.error,
             rot_iterations=rot_res.iterations,

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import RegistrationConfig
+from ..ops import sym3
 from ..voxel.knn import estimate_cov6
 from ..voxel.voxelmap import build_voxel_map
 from . import gicp, lm
@@ -42,6 +43,131 @@ class ScanPairResult(NamedTuple):
     converged: jnp.ndarray
 
 
+def register_features(
+    src_xyz: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    src_cov: jnp.ndarray,
+    tgt_xyz: jnp.ndarray,
+    tgt_mask: jnp.ndarray,
+    tgt_cov: jnp.ndarray,
+    init_translation: jnp.ndarray,
+    last_translation: jnp.ndarray,
+    interval_tn: jnp.ndarray,
+    interval_tn_1: jnp.ndarray,
+    cfg: RegistrationConfig,
+    voxel_capacity: int,
+) -> ScanPairResult:
+    """Shared registration core: alternating rotation/translation rot-GICP
+    plus an optional fine uniform-voxel translation stage.
+
+    Model: tgt ~ R src + t, with `t` carried as the TOTAL step translation
+    (initialized from the forward prediction). Differences vs the
+    reference's scanRegeistration (lidarOdometry.cpp:448-501), each a
+    measured accuracy fix on the bench workload (tools/diag_ct.py):
+
+      - the translation residual uses the ROTATED source (e = mu_B -
+        (R p + t)); the reference's t3_linearize keeps the source
+        unrotated (rot_vgicp_impl.hpp:528), which leaks (R - I) p into
+        the translation estimate (0.275 -> 0.195 m median),
+      - `alt_rounds` rotation/translation alternations: at cold guesses
+        the rotation-only stage absorbs part of the unmodeled translation;
+        re-solving rotation at the recovered translation removes a
+        systematic ~14% undershoot along the motion direction
+        (0.195 -> ~0.07 m median),
+      - `ct_fine_resolution` re-solves the translation against a uniform
+        voxel map (the polar grid's 2 m radial bins quantize voxel means).
+
+    alt_rounds=1 + ct_fine_resolution=0 + the unrotated residual in
+    gicp.ct_linearize reproduce the reference flow (the oracle-parity
+    tests pin that path)."""
+    dtype = src_xyz.dtype
+    eye = jnp.eye(3, dtype=dtype)
+    polar_res = (
+        jnp.asarray(cfg.polar_resolution, dtype) if cfg.voxel_type == "polar" else None
+    )
+    vmap = build_voxel_map(
+        tgt_xyz, tgt_cov, tgt_mask, voxel_capacity,
+        polar_res=polar_res, resolution=cfg.voxel_resolution,
+    )
+
+    # Multi-stage flows cap the per-stage budgets: the polar CT stages are
+    # coarse (a fine stage follows) and occasionally burn 30+ LM iterations
+    # polishing quantized voxel means; 16 outer iterations and 2 rebinds
+    # lose <0.02 m median on the bench at a ~25% step-cost saving. The
+    # reference-parity flow (alt_rounds=1, fine=0) keeps the full budget.
+    multi = cfg.alt_rounds > 1 or cfg.ct_fine_resolution > 0
+    ct_outer = min(cfg.max_outer_iterations, 16) if multi else cfg.max_outer_iterations
+    ct_rebinds = min(cfg.ct_rebind_rounds, 2) if multi else cfg.ct_rebind_rounds
+
+    rot = eye
+    t = init_translation
+    rot_res = None
+    ct_res = None
+    for _ in range(max(int(cfg.alt_rounds), 1)):
+        # rotation stage on translation-propagated points: R'(src + R^T t)
+        # = R' src + t at R' = R, i.e. the reference's transformPointCloud
+        # + align shape (lidarOdometry.cpp:459-467) generalized to a warm
+        # rotation start
+        ctx_r = gicp.make_context(
+            src_xyz + (rot.T @ t)[None, :], src_mask, src_cov, vmap,
+            polar_res=polar_res, resolution=cfg.voxel_resolution,
+            neighbor_search=cfg.neighbor_search,
+        )
+        rot_res = lm.lm_register_rotation(
+            ctx_r, rot, jnp.zeros(3, dtype=dtype),
+            max_outer=cfg.max_outer_iterations, max_inner=cfg.lm_max_inner_iterations,
+            rot_eps=cfg.rotation_epsilon, trans_eps=cfg.transformation_epsilon,
+            init_lambda_factor=cfg.lm_init_lambda_factor,
+        )
+        rot = rot_res.rot
+        # translation stage with the rotated residual: pre-rotate the
+        # context so e = mu_B - ((R p) + t)
+        ctx_t = gicp.make_context(
+            src_xyz @ rot.T, src_mask, sym3.congruence(rot, src_cov), vmap,
+            polar_res=polar_res, resolution=cfg.voxel_resolution,
+            neighbor_search=cfg.neighbor_search,
+        )
+        ct_res = lm.lm_translation_rebind(
+            ctx_t, eye, t,
+            jnp.zeros(3, dtype=dtype), last_translation, interval_tn, interval_tn_1,
+            cfg.ct_lambda, rebind_rounds=ct_rebinds,
+            max_outer=ct_outer, max_inner=cfg.lm_max_inner_iterations,
+            trans_eps=cfg.transformation_epsilon,
+            init_lambda_factor=cfg.lm_init_lambda_factor,
+        )
+        t = ct_res.trans
+
+    if cfg.ct_fine_resolution > 0:
+        vmap_fine = build_voxel_map(
+            tgt_xyz, tgt_cov, tgt_mask, voxel_capacity,
+            polar_res=None, resolution=cfg.ct_fine_resolution,
+        )
+        ctx_f = gicp.make_context(
+            src_xyz @ rot.T, src_mask, sym3.congruence(rot, src_cov), vmap_fine,
+            polar_res=None, resolution=cfg.ct_fine_resolution,
+            neighbor_search=cfg.ct_fine_neighbors,
+        )
+        ct_res = lm.lm_translation_rebind(
+            ctx_f, eye, t,
+            jnp.zeros(3, dtype=dtype), last_translation, interval_tn, interval_tn_1,
+            cfg.ct_lambda, rebind_rounds=ct_rebinds,
+            max_outer=ct_outer, max_inner=cfg.lm_max_inner_iterations,
+            trans_eps=cfg.transformation_epsilon,
+            init_lambda_factor=cfg.lm_init_lambda_factor,
+        )
+        t = ct_res.trans
+
+    return ScanPairResult(
+        rot=rot,
+        trans=t,
+        rot_error=rot_res.error,
+        ct_error=ct_res.error,
+        rot_iterations=rot_res.iterations,
+        ct_iterations=ct_res.iterations,
+        converged=rot_res.converged & ct_res.converged,
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=("cfg", "voxel_capacity", "k"),
@@ -59,77 +185,16 @@ def register_scan_pair(
     voxel_capacity: int = 8192,
     k: int = 20,
 ) -> ScanPairResult:
-    """Register source features against target features.
-
-    Mirrors scanRegeistration: `src_xyz` must already be translated by the
-    forward-predicted translation (`init_translation` = that prediction,
-    lidarOdometry.cpp:459); rotation is solved about the sensor origin with
-    polar voxel binning, then the translation correction is solved with the
-    velocity-continuity regularizer. Returned trans = init + ct correction
-    (lidarOdometry.cpp:500: Translation += Reg_translation).
-    """
-    dtype = src_xyz.dtype
+    """Register raw source features against target features
+    (scanRegeistration, lidarOdometry.cpp:448-501). `init_translation` is
+    the forward-predicted step translation (stateLinearPropagation);
+    returned (rot, trans) is the TOTAL step: tgt ~ rot @ src + trans."""
     src_cov = estimate_cov6(src_xyz, src_mask, k=k, method=cfg.regularization)
     tgt_cov = estimate_cov6(tgt_xyz, tgt_mask, k=k, method=cfg.regularization)
-
-    polar_res = (
-        jnp.asarray(cfg.polar_resolution, dtype) if cfg.voxel_type == "polar" else None
-    )
-    vmap = build_voxel_map(
-        tgt_xyz,
-        tgt_cov,
-        tgt_mask,
-        voxel_capacity,
-        polar_res=polar_res,
-        resolution=cfg.voxel_resolution,
-    )
-    ctx = gicp.make_context(
-        src_xyz,
-        src_mask,
-        src_cov,
-        vmap,
-        polar_res=polar_res,
-        resolution=cfg.voxel_resolution,
-        neighbor_search=cfg.neighbor_search,
-    )
-
-    rot_res = lm.lm_register_rotation(
-        ctx,
-        jnp.eye(3, dtype=dtype),
-        jnp.zeros(3, dtype=dtype),
-        max_outer=cfg.max_outer_iterations,
-        max_inner=cfg.lm_max_inner_iterations,
-        rot_eps=cfg.rotation_epsilon,
-        trans_eps=cfg.transformation_epsilon,
-        init_lambda_factor=cfg.lm_init_lambda_factor,
-    )
-
-    # Translation stage: correspondences bound at the final rotation state,
-    # rebound between rounds (lm_translation_rebind; rounds=1 == reference).
-    ct_res = lm.lm_translation_rebind(
-        ctx,
-        rot_res.rot,
-        jnp.zeros(3, dtype=dtype),
-        init_translation,
-        last_translation,
-        interval_tn,
-        interval_tn_1,
-        cfg.ct_lambda,
-        rebind_rounds=cfg.ct_rebind_rounds,
-        max_outer=cfg.max_outer_iterations,
-        max_inner=cfg.lm_max_inner_iterations,
-        trans_eps=cfg.transformation_epsilon,
-        init_lambda_factor=cfg.lm_init_lambda_factor,
-    )
-
-    return ScanPairResult(
-        rot=rot_res.rot,
-        trans=init_translation + ct_res.trans,
-        rot_error=rot_res.error,
-        ct_error=ct_res.error,
-        rot_iterations=rot_res.iterations,
-        ct_iterations=ct_res.iterations,
-        converged=rot_res.converged & ct_res.converged,
+    return register_features(
+        src_xyz, src_mask, src_cov, tgt_xyz, tgt_mask, tgt_cov,
+        init_translation, last_translation, interval_tn, interval_tn_1,
+        cfg, voxel_capacity,
     )
 
 

@@ -39,6 +39,14 @@ class SequenceResult:
     rpe_frontend: Optional[float] = None
     drop_counts: Dict[str, int] = field(default_factory=dict)
     stage_ms: Dict[str, float] = field(default_factory=dict)
+    # factor-graph evidence (backMapping addLoopFactor/addPriorFactor
+    # analogs): how many loop / prior factors were actually ACCEPTED — the
+    # round-2 A/B could not show loops mattering because it never recorded
+    # whether any fired (VERDICT round-2 missing item 1)
+    n_keyframes: int = 0
+    n_loop_factors: int = 0
+    n_prior_factors: int = 0
+    ate_keyframes_z_rmse: Optional[float] = None
 
     def to_json(self) -> dict:
         out = {
@@ -47,11 +55,16 @@ class SequenceResult:
             "scans_per_s": round(self.scans_per_s, 2),
             "drop_counts": self.drop_counts,
             "stage_ms": {k: round(v, 3) for k, v in self.stage_ms.items()},
+            "n_keyframes": self.n_keyframes,
+            "n_loop_factors": self.n_loop_factors,
+            "n_prior_factors": self.n_prior_factors,
         }
         if self.ate_frontend is not None:
             out["ate_frontend_rmse_m"] = round(self.ate_frontend.rmse, 4)
         if self.ate_keyframes is not None:
             out["ate_keyframes_rmse_m"] = round(self.ate_keyframes.rmse, 4)
+        if self.ate_keyframes_z_rmse is not None:
+            out["ate_keyframes_z_rmse_m"] = round(self.ate_keyframes_z_rmse, 4)
         if self.rpe_frontend is not None:
             out["rpe_frontend_rmse_m"] = round(self.rpe_frontend, 4)
         return out
@@ -91,6 +104,9 @@ def run_frames(
         n_scans=n, wall_s=wall, scans_per_s=n / max(wall, 1e-9),
         drop_counts=dict(slam.drop_counts),
         stage_ms={k: v["mean_ms"] for k, v in slam.timers.summary().items()},
+        n_keyframes=int(slam.backend_state.db.count),
+        n_loop_factors=int(slam.backend_state.graph.loops.count),
+        n_prior_factors=int(slam.backend_state.graph.priors.count),
     )
 
     if gt_pos:
@@ -107,6 +123,16 @@ def run_frames(
         ia, ib = metrics.associate_by_time(np.asarray(kt) + (slam._epoch or 0.0), gt_t, max_diff=0.05)
         if len(ia) >= 3:
             res.ate_keyframes = metrics.ate(kp[ia], gt_p[ib])
+            # z-only residual after the same SE(3) Umeyama alignment ATE
+            # uses (slam's world frame is the first sensor pose, gt's is
+            # the sim world): the elevation-accuracy claim the prior stack
+            # exists to improve (ROLO paper / prior_pose_node)
+            if kp[ia].shape[0] >= 3:
+                rot_a, trans_a, _ = metrics.umeyama_alignment(kp[ia], gt_p[ib])
+                est_aligned = kp[ia] @ rot_a.T + trans_a
+                res.ate_keyframes_z_rmse = float(
+                    np.sqrt(np.mean((est_aligned[:, 2] - gt_p[ib][:, 2]) ** 2))
+                )
 
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)

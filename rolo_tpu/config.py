@@ -122,8 +122,12 @@ class MappingConfig:
     approx_knn: bool = True
     # Candidate-set rebinding in scan2map: the full-submap k-NN runs once
     # per solve with this many neighbors; rebinds re-rank the candidates.
-    # 0 = full search every rebind (TPU knob, no reference analog).
-    scan2map_candidates: int = 24
+    # 0 = full search on the rebind schedule (TPU knob, no reference
+    # analog). Default 0: measured on TPU at production shapes, the
+    # re-rank's [N, C] gather costs MORE than a full approx_min_k search
+    # (31 vs 22 ms at 12k x 64k), so candidate reuse is a pessimization —
+    # kept for experimentation only.
+    scan2map_candidates: int = 0
 
 
 @dataclass(frozen=True)

@@ -322,7 +322,12 @@ def loop_closure_step(state: BackendState, cfg: RoloConfig) -> Tuple[BackendStat
             state.db, cur, prev_idx, cur_sub, prev_sub, init_yaw,
             max_corr_dist=(150.0 if robust else lc.history_search_radius * 2.0),
             fitness_threshold=lc.history_fitness_score, robust=robust,
-            approx_knn=cfg.mapping.approx_knn,
+            # exact k-NN here (ADVICE round-2): with the 150 m robust-mode
+            # gate, an approx miss can admit an arbitrarily far
+            # correspondence into the unweighted SVD alignment, and the
+            # accept/reject fitness must not be approximately scored; the
+            # ~5% recall trade-off only pays in the high-rate scan2map binds
+            approx_knn=False,
         )
         return factor._replace(accepted=factor.accepted & found)
 
@@ -428,7 +433,7 @@ def external_loop_step(
             db, key_cur, key_prev, cur_sub, prev_sub, jnp.asarray(0.0, dtype),
             max_corr_dist=lc.history_search_radius * 2.0,
             fitness_threshold=lc.history_fitness_score, robust=False,
-            approx_knn=cfg.mapping.approx_knn,
+            approx_knn=False,  # exact: fitness gates must not be approx-scored
         )
         return factor._replace(accepted=factor.accepted & found)
 

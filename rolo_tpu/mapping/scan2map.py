@@ -79,16 +79,25 @@ def nn_candidates(
     n_cand: int,
     chunk: int = 512,
     approx_knn: bool = False,
-) -> jnp.ndarray:
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-point candidate neighbor set: the n_cand nearest submap points at
-    the current pose. Computed ONCE per scan2map solve; later rebinds
-    re-rank only these candidates (the pose moves sub-cm between mapping
-    refinement steps, so the true 5-NN stays inside the candidate set) —
-    this replaces the reference's full kd-tree re-search every iteration
-    (backMapping.cpp:736, :843) with one full search + cheap re-ranks."""
+    the current pose, plus the median candidate-set radius (distance to the
+    farthest candidate over valid points). Computed at bind time; later
+    rebinds re-rank only these candidates (the pose moves sub-cm between
+    mapping refinement steps, so the true 5-NN stays inside the candidate
+    set) — this replaces the reference's full kd-tree re-search every
+    iteration (backMapping.cpp:736, :843) with one full search + cheap
+    re-ranks. The radius lets the solver detect when the pose has moved far
+    enough that the frozen candidate set may no longer contain the true
+    5-NN (stale-candidate guard)."""
     world = jnp.einsum("ij,nj->ni", rot, pts) + trans
-    return knn_indices(world, mask, submap.xyz, submap.mask, n_cand, chunk,
-                       approximate=approx_knn)
+    idx = knn_indices(world, mask, submap.xyz, submap.mask, n_cand, chunk,
+                      approximate=approx_knn)
+    far = submap.xyz[idx[:, -1]]  # the n_cand-th nearest at bind time
+    d = jnp.linalg.norm(far - world, axis=-1)
+    d = jnp.where(mask & submap.mask[idx[:, -1]], d, jnp.nan)
+    radius = jnp.nan_to_num(jnp.nanmedian(d), nan=1.0)
+    return idx, radius
 
 
 def _top5_from_candidates(
@@ -285,16 +294,22 @@ def scan2map_optimize(
     eye6 = jnp.eye(6, dtype=dtype)
     use_cand = bool(n_candidates) and n_candidates > 5
 
-    rot0 = so3.rpy_to_matrix(rpy0[0], rpy0[1], rpy0[2])
-    if use_cand:
-        cand_c = nn_candidates(corner_pts, corner_mask, submap_corner, rot0, xyz0,
-                               n_candidates, chunk, approx_knn)
-        cand_s = nn_candidates(surf_pts, surf_mask, submap_surf, rot0, xyz0,
-                               n_candidates, chunk, approx_knn)
-    else:
-        cand_c = cand_s = None
+    def full_cand(rpy, xyz):
+        """Full-submap candidate search at the given pose + its radius +
+        the anchor pose it was bound at."""
+        rot = so3.rpy_to_matrix(rpy[0], rpy[1], rpy[2])
+        cand_c, rad_c = nn_candidates(corner_pts, corner_mask, submap_corner,
+                                      rot, xyz, n_candidates, chunk, approx_knn)
+        cand_s, rad_s = nn_candidates(surf_pts, surf_mask, submap_surf,
+                                      rot, xyz, n_candidates, chunk, approx_knn)
+        return cand_c, cand_s, jnp.minimum(rad_c, rad_s), rpy, xyz
 
-    def rebind(rpy, xyz):
+    if use_cand:
+        cand0 = full_cand(rpy0, xyz0)
+    else:
+        cand0 = None
+
+    def rebind(rpy, xyz, cand_c, cand_s):
         rot = so3.rpy_to_matrix(rpy[0], rpy[1], rpy[2])
         cb = corner_bind(corner_pts, corner_mask, submap_corner, rot, xyz, chunk,
                          approx_knn, cand_idx=cand_c)
@@ -306,11 +321,28 @@ def scan2map_optimize(
     # iteration (the reference's exact per-iteration re-search semantics,
     # restricted to the candidates). Without one, rebind on the schedule.
     def body(state):
-        rpy, xyz, cb, sb, proj, degen, it, conv, nfac = state
+        rpy, xyz, cb, sb, cand, proj, degen, it, conv, nfac = state
+        if use_cand:
+            # stale-candidate guard (ADVICE round-2): if the pose has moved
+            # a large fraction of the candidate-set radius since the set
+            # was bound, the true 5-NN can fall outside it while stale
+            # candidates still pass the <1 m near_ok gate — re-run the
+            # full-submap search at the current pose. 30 m converts the
+            # rotation delta to a displacement bound at lidar range.
+            cand_c, cand_s, radius, a_rpy, a_xyz = cand
+            moved = jnp.linalg.norm(xyz - a_xyz) + 30.0 * jnp.linalg.norm(rpy - a_rpy)
+            cand = jax.lax.cond(
+                moved > 0.5 * radius,
+                lambda: full_cand(rpy, xyz),
+                lambda: cand,
+            )
+            cand_c, cand_s = cand[0], cand[1]
+        else:
+            cand_c = cand_s = None
         rebound_now = (it > 0) & (use_cand | (it % rebind_every == 0))
         cb, sb = jax.lax.cond(
             rebound_now,
-            lambda: rebind(rpy, xyz),
+            lambda: rebind(rpy, xyz, cand_c, cand_s),
             lambda: (cb, sb),
         )
         fresh = rebound_now | (it == 0)
@@ -348,18 +380,21 @@ def scan2map_optimize(
         # step against stale correspondences means the pose stopped moving
         # relative to frozen lines/planes, not that it is aligned
         conv = ((delta_r < 0.05) & (delta_t < 0.05) & fresh) | ~enough
-        return (rpy, xyz, cb, sb, proj, degen, it + 1, conv, nfac)
+        return (rpy, xyz, cb, sb, cand, proj, degen, it + 1, conv, nfac)
 
     def cond(state):
         *_, it, conv, _ = state
         return (it < max_iterations) & ~conv
 
-    cb0, sb0 = rebind(rpy0, xyz0)
+    if use_cand:
+        cb0, sb0 = rebind(rpy0, xyz0, cand0[0], cand0[1])
+    else:
+        cb0, sb0 = rebind(rpy0, xyz0, None, None)
     state = (
-        rpy0, xyz0, cb0, sb0, eye6, jnp.array(False), jnp.asarray(0, jnp.int32),
+        rpy0, xyz0, cb0, sb0, cand0, eye6, jnp.array(False), jnp.asarray(0, jnp.int32),
         jnp.array(False), jnp.asarray(0, jnp.int32),
     )
-    rpy, xyz, _, _, _, degen, it, conv, nfac = jax.lax.while_loop(cond, body, state)
+    rpy, xyz, _, _, _, _, degen, it, conv, nfac = jax.lax.while_loop(cond, body, state)
     rot = so3.rpy_to_matrix(rpy[0], rpy[1], rpy[2])
     return Scan2MapResult(rot, xyz, rpy, degen, it, nfac, conv)
 

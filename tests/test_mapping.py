@@ -124,3 +124,64 @@ class TestKeyframeDB:
         assert got.shape[0] > 0
         assert np.max(got[:, 0]) < 5.0 + 1.5  # no points from keyframe at x=10+
         assert int(corners.mask.sum()) > 0
+
+
+class TestScan2MapVariants:
+    """Parity across the TPU speed knobs (ADVICE round-2): the approximate
+    k-NN path, the no-candidate (full re-search) path, and the default
+    candidate-reuse path must all recover the same pose."""
+
+    def _problem(self):
+        surf_map, corner_map = make_structured_scene()
+        submap_s = PaddedCloud.from_points(surf_map, 4096)
+        submap_c = PaddedCloud.from_points(corner_map, 512)
+        true_rpy = np.array([0.01, -0.02, 0.05], np.float32)
+        true_xyz = np.array([0.3, -0.2, 0.1], np.float32)
+        from rolo_tpu.geometry import so3 as _so3
+        r = np.asarray(_so3.rpy_to_matrix(*[jnp.asarray(v) for v in true_rpy]))
+        surf_scan = ((surf_map[::3] - true_xyz) @ r).astype(np.float32)
+        corner_scan = ((corner_map[::2] - true_xyz) @ r).astype(np.float32)
+        sp = PaddedCloud.from_points(surf_scan, 2048)
+        cp = PaddedCloud.from_points(corner_scan, 256)
+        return cp, sp, submap_c, submap_s, true_rpy, true_xyz
+
+    def _solve(self, cp, sp, submap_c, submap_s, **kw):
+        return scan2map_optimize(
+            jnp.zeros(3), jnp.zeros(3), cp.xyz, cp.mask, sp.xyz, sp.mask,
+            submap_c, submap_s, **kw,
+        )
+
+    def test_approx_and_candidate_paths_agree(self):
+        cp, sp, submap_c, submap_s, true_rpy, true_xyz = self._problem()
+        for kw in (
+            dict(approx_knn=True, n_candidates=24),   # production default
+            dict(approx_knn=True, n_candidates=0),    # scheduled full rebinds
+            dict(approx_knn=False, n_candidates=0),   # reference-exact
+        ):
+            res = self._solve(cp, sp, submap_c, submap_s, **kw)
+            np.testing.assert_allclose(np.asarray(res.rpy), true_rpy, atol=3e-3, err_msg=str(kw))
+            np.testing.assert_allclose(np.asarray(res.trans), true_xyz, atol=3e-2, err_msg=str(kw))
+            assert bool(res.converged), kw
+
+    def test_stale_candidate_guard_matches_exact_at_large_correction(self):
+        """An initial pose off by ~0.7 m (the far edge of scan2map's
+        capture range — the <1 m near_ok gate caps it, backMapping.cpp:750)
+        moves the GN estimate beyond the bind-time candidate radius; the
+        stale-candidate guard (ADVICE round-2 medium) must keep the
+        candidate path as good as the full re-search path."""
+        cp, sp, submap_c, submap_s, true_rpy, true_xyz = self._problem()
+        bad_xyz = jnp.asarray(true_xyz + np.array([0.5, -0.45, 0.0], np.float32))
+        exact = scan2map_optimize(
+            jnp.asarray(true_rpy), bad_xyz, cp.xyz, cp.mask, sp.xyz, sp.mask,
+            submap_c, submap_s, approx_knn=False, n_candidates=0,
+            max_iterations=30,
+        )
+        cand = scan2map_optimize(
+            jnp.asarray(true_rpy), bad_xyz, cp.xyz, cp.mask, sp.xyz, sp.mask,
+            submap_c, submap_s, approx_knn=True, n_candidates=24,
+            max_iterations=30,
+        )
+        err_exact = np.linalg.norm(np.asarray(exact.trans) - true_xyz)
+        err_cand = np.linalg.norm(np.asarray(cand.trans) - true_xyz)
+        # the candidate path may not be meaningfully worse than full re-search
+        assert err_cand < err_exact + 0.05, (err_cand, err_exact)

@@ -104,7 +104,12 @@ class MappingConfig:
     surrounding_keyframe_density: float = 2.0
     surrounding_keyframe_search_radius: float = 50.0
     surrounding_keyframe_recency_sec: float = 10.0  # backMapping.cpp:600-608
-    scan2map_max_iterations: int = 30  # backMapping.cpp:692
+    # Reference default is 30 (backMapping.cpp:692). On TPU the solve's
+    # <0.5 mm convergence test rarely fires before the cap (approx-kNN
+    # rebinds jitter the frozen correspondences at the sub-mm level), so
+    # the cap IS the iteration count; 16 keeps the same sim-run ATE at
+    # half the backend cost (see AB_DEFAULTS.json).
+    scan2map_max_iterations: int = 16
     # Iterations between correspondence re-searches in scan2map. The
     # reference rebinds every iteration (=1); the 5-NN is >80% of the TPU
     # iteration cost while mapping refinement moves the pose sub-cm, so 5
@@ -113,8 +118,10 @@ class MappingConfig:
     degeneracy_eigen_threshold: float = 100.0  # backMapping.cpp:1006-1035
     # Submap assembly keeps the nearest N eligible keyframes (the fixed-size
     # stand-in for the reference's 2 m pose-set voxel downsample,
-    # backMapping.cpp:583-599).
-    surrounding_keyframe_max_nearby: int = 64
+    # backMapping.cpp:583-599). 32 nearest at the 0.5 m keyframe spacing
+    # covers a ~16 m neighborhood — far beyond the <1 m correspondence
+    # gate of the scan2map factors.
+    surrounding_keyframe_max_nearby: int = 32
     # Approximate k-NN (lax.approx_min_k, recall ~0.95) in the scan2map
     # binds and loop/prior ICP correspondence search: a >10x TPU speedup
     # over exact row-wide top-k; the 5-point line/plane fits and the
@@ -237,7 +244,10 @@ class StaticConfig:
     max_feature_points: int = 8192  # corner + surf stacked
     max_voxels: int = 8192
     max_keyframes: int = 2048
-    max_submap_points: int = 65536
+    # Submap cap: real submaps carry ~3k corner / ~27k surf points after
+    # the 0.2/0.4 leaf downsample; 32768 halves every scan2map bind vs the
+    # old 65536 with zero truncation in practice.
+    max_submap_points: int = 32768
     max_loop_factors: int = 256
     max_prior_factors: int = 512
     knn_query_chunk: int = 512

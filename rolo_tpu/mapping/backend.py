@@ -73,6 +73,11 @@ class BackendOutput(NamedTuple):
     # exhaustion must be host-visible, not silent (the runtime escalates per
     # StaticConfig.on_capacity).
     keyframe_dropped: jnp.ndarray  # [] bool
+    # pending_solve & keyframe_added: the ONE flag the runtime must fetch
+    # per mapping step to drive the host-side bucketed graph solve
+    # (solve_graph_host) — kept in the output so the host pays a single
+    # small sync instead of two.
+    solve_due: jnp.ndarray  # [] bool
 
 
 def init_backend(cfg: RoloConfig, dtype=jnp.float32) -> BackendState:
@@ -237,6 +242,7 @@ def backend_step(
         rot=out_rot, trans=out_trans, keyframe_added=add & ~dropped,
         degenerate=degen, s2m_iterations=iters, num_factors=nfac,
         keyframe_dropped=dropped,
+        solve_due=pending & add,
     )
 
 

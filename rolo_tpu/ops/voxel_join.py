@@ -44,7 +44,11 @@ from jax.experimental.pallas import tpu as pltpu
 #   polar:   theta[7b] << 24 | phi[6b] << 18 | r[18b]
 #   uniform: (x+512)[10b] << 20 | (y+512)[10b] << 10 | (z+512)[10b]
 # INVALID never collides with any packed value produced from real bins.
-INVALID_PACK = jnp.int32(0x7FFFFFFF)
+# Plain Python int, NOT jnp.int32: a module-level device constant would
+# initialize the JAX backend at import time, which breaks
+# jax.distributed.initialize for any process that imports rolo_tpu before
+# calling it (parallel/mesh.distributed_init).
+INVALID_PACK = 0x7FFFFFFF
 
 
 def pack_polar(coord: jnp.ndarray) -> jnp.ndarray:
@@ -94,10 +98,16 @@ def _keyed_kernel(vals_ref, kk_ref, km_ref, out_ref):
     j = pl.program_id(1)
     eq = (kk_ref[:] == km_ref[:]).astype(jnp.bfloat16)  # [BK, BM]
     hi, mid, lo = _split3(vals_ref[:])
+    # explicit DEFAULT precision: these bf16 dots are already exact via the
+    # 3-way split; the library-wide "highest" default would pointlessly
+    # promote them to multi-pass f32
     part = (
-        jnp.dot(hi, eq, preferred_element_type=jnp.float32)
-        + jnp.dot(mid, eq, preferred_element_type=jnp.float32)
-        + jnp.dot(lo, eq, preferred_element_type=jnp.float32)
+        jnp.dot(hi, eq, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+        + jnp.dot(mid, eq, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.DEFAULT)
+        + jnp.dot(lo, eq, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.DEFAULT)
     )
 
     @pl.when(j == 0)

@@ -163,9 +163,11 @@ def register_scan_pair_spmd(
         # local-shard contexts; the psum'd reducers make each linearization
         # globally exact
         eye = jnp.eye(3, dtype=dtype)
-        rot = eye
-        t = init_t
-        for _ in range(max(int(cfg.alt_rounds), 1)):
+        multi = cfg.alt_rounds > 1 or cfg.ct_fine_resolution > 0
+        ct_outer = min(cfg.max_outer_iterations, 16) if multi else cfg.max_outer_iterations
+        ct_rebinds = min(cfg.ct_rebind_rounds, 2) if multi else cfg.ct_rebind_rounds
+
+        def one_round(rot, t):
             ctx_r = gicp.make_context(
                 src + (rot.T @ t)[None, :], smask, src_cov, vmap,
                 polar_res=polar_res, resolution=cfg.voxel_resolution,
@@ -189,14 +191,28 @@ def register_scan_pair_spmd(
             ct_res = lm.lm_translation_rebind(
                 ctx_t, eye, t,
                 jnp.zeros(3, dtype=dtype), last_t, dtn, dtn1, cfg.ct_lambda,
-                rebind_rounds=cfg.ct_rebind_rounds,
-                max_outer=cfg.max_outer_iterations,
+                rebind_rounds=ct_rebinds,
+                max_outer=ct_outer,
                 max_inner=cfg.lm_max_inner_iterations,
                 trans_eps=cfg.transformation_epsilon,
                 init_lambda_factor=cfg.lm_init_lambda_factor,
                 ct_linearize_fn=ct_lin, ct_error_fn=ct_err,
             )
-            t = ct_res.trans
+            return rot, ct_res.trans, rot_res, ct_res
+
+        rot, t, rot_res, ct_res = one_round(eye, init_t)
+        prev_t = init_t
+        for _ in range(max(int(cfg.alt_rounds), 1) - 1):
+            # same cold-start gate as rotgicp.register_features
+            moved = jnp.linalg.norm(t - prev_t)
+            need = moved > jnp.maximum(0.15, 0.25 * jnp.linalg.norm(t))
+            prev_t = t
+            rot, t, rot_res, ct_res = jax.lax.cond(
+                need,
+                lambda r, tt: one_round(r, tt),
+                lambda r, tt: (r, tt, rot_res, ct_res),
+                rot, t,
+            )
 
         if cfg.ct_fine_resolution > 0:
             vmap_f = build_voxel_map(
@@ -211,8 +227,8 @@ def register_scan_pair_spmd(
             ct_res = lm.lm_translation_rebind(
                 ctx_f, eye, t,
                 jnp.zeros(3, dtype=dtype), last_t, dtn, dtn1, cfg.ct_lambda,
-                rebind_rounds=cfg.ct_rebind_rounds,
-                max_outer=cfg.max_outer_iterations,
+                rebind_rounds=ct_rebinds,
+                max_outer=ct_outer,
                 max_inner=cfg.lm_max_inner_iterations,
                 trans_eps=cfg.transformation_epsilon,
                 init_lambda_factor=cfg.lm_init_lambda_factor,

@@ -99,11 +99,7 @@ def register_features(
     ct_outer = min(cfg.max_outer_iterations, 16) if multi else cfg.max_outer_iterations
     ct_rebinds = min(cfg.ct_rebind_rounds, 2) if multi else cfg.ct_rebind_rounds
 
-    rot = eye
-    t = init_translation
-    rot_res = None
-    ct_res = None
-    for _ in range(max(int(cfg.alt_rounds), 1)):
+    def one_round(rot, t):
         # rotation stage on translation-propagated points: R'(src + R^T t)
         # = R' src + t at R' = R, i.e. the reference's transformPointCloud
         # + align shape (lidarOdometry.cpp:459-467) generalized to a warm
@@ -135,7 +131,26 @@ def register_features(
             trans_eps=cfg.transformation_epsilon,
             init_lambda_factor=cfg.lm_init_lambda_factor,
         )
-        t = ct_res.trans
+        return rot, ct_res.trans, rot_res, ct_res
+
+    rot, t, rot_res, ct_res = one_round(eye, init_translation)
+    prev_t = init_translation
+    for _ in range(max(int(cfg.alt_rounds), 1) - 1):
+        # Extra alternations exist to fix COLD starts (the rotation-only
+        # stage absorbs unmodeled translation). At a warm forward-predicted
+        # guess the first round's correction is small and the re-solve is
+        # a no-op — gate it at runtime on how far the round moved the
+        # estimate, so the steady-state pipeline pays one round while the
+        # bench's zero-guess solves still alternate.
+        moved = jnp.linalg.norm(t - prev_t)
+        need = moved > jnp.maximum(0.15, 0.25 * jnp.linalg.norm(t))
+        prev_t = t
+        rot, t, rot_res, ct_res = jax.lax.cond(
+            need,
+            lambda r, tt: one_round(r, tt),
+            lambda r, tt: (r, tt, rot_res, ct_res),
+            rot, t,
+        )
 
     if cfg.ct_fine_resolution > 0:
         vmap_fine = build_voxel_map(

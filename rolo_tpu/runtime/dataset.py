@@ -114,7 +114,7 @@ def run_frames(
         gt_p = np.asarray(gt_pos)
         # SlamSystem rebases stamps to the first scan
         est_t = np.asarray(slam.times) + (slam._epoch or 0.0)
-        est_p = np.asarray(slam.front_positions)
+        est_p = slam.front_positions_np()
         ia, ib = metrics.associate_by_time(est_t, gt_t, max_diff=0.05)
         if len(ia) >= 3:
             res.ate_frontend = metrics.ate(est_p[ia], gt_p[ib])

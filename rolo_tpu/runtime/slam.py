@@ -106,12 +106,17 @@ class SlamSystem:
         # detectLoopClosureExternal, backMapping.cpp:2517-2570)
         self._external_loops: List[tuple] = []
 
-        # trajectory logs (host side)
+        # trajectory logs: device arrays, stacked + transferred ONCE at
+        # egress (front_positions_np() etc.) — per-scan host conversion
+        # would synchronize the tunnel every scan
         self.times: List[float] = []
-        self.front_positions: List[np.ndarray] = []
-        self.front_quats: List[np.ndarray] = []
-        self.mapped_positions: List[np.ndarray] = []
-        self.mapped_quats: List[np.ndarray] = []
+        self.front_positions: List[jnp.ndarray] = []
+        self.front_quats: List[jnp.ndarray] = []
+        self.mapped_positions: List[jnp.ndarray] = []
+        self.mapped_quats: List[jnp.ndarray] = []
+        self._mapping_steps = 0
+        self._last_capacity_check = 0
+        self._solve_flag = None  # deferred solve_due from the last mapping step
 
         if cfg.sensor.deskew_enabled:
             # full deskew from the last odometry increment
@@ -167,6 +172,43 @@ class SlamSystem:
                 st.max_corner_points, st.max_surf_points,
             )
         )
+
+        # Minimal-synchronization driving: on a remote-tunneled device EVERY
+        # host synchronization (block_until_ready / np.asarray / bool())
+        # costs a flat ~25-30 ms regardless of payload, so the per-scan path
+        # is dispatched fully asynchronously — the only blocking fetch per
+        # scan is the back-end's solve_due flag (needed for the host-driven
+        # bucketed graph solve), and trajectory egress stacks device arrays
+        # once at the end of the run.
+        self._quat = jax.jit(so3.matrix_to_quat)
+
+        @jax.jit
+        def _prior_cycle_jit(fusion_state, stamp, backend_state, ground_map, vehicle):
+            """The whole predictTimerHandler -> prior_pose_node ->
+            priorInfoHandler -> performPriorAssociation chain (SURVEY.md
+            section 3.4) as ONE device program — zero host branches."""
+            fut = fusion.predict_future(fusion_state, cfg.filter)
+            fused = fusion.fused_pose(fusion_state, stamp, cfg.filter)
+            valid = fut.valid & fused.valid
+            local_rot = so3.quat_to_matrix(fut.final_quat)
+            world_pos = fused.rot @ fut.final_pos + fused.trans
+            world_rot = fused.rot @ local_rot
+            yaw = jnp.arctan2(world_rot[1, 0], world_rot[0, 0])
+            obs = prior_assoc.compute_prior(
+                ground_map, vehicle, world_pos[0], world_pos[1], yaw, cfg.prior, 2048
+            )
+            obs = obs._replace(success=obs.success & valid)
+            backend_state = backend.record_prior_observation(
+                backend_state, obs, obs_time=stamp, cfg=cfg
+            )
+            patch = prior_ground.extract_patch(
+                ground_map, backend_state.xyz[:2],
+                4.0 * cfg.prior.ground_patch_size, 4096,
+            )
+            backend_state, matched = backend.prior_step(backend_state, patch, cfg)
+            return backend_state, matched
+
+        self._prior_cycle_jit = _prior_cycle_jit
 
     # -- ingest ----------------------------------------------------------
 
@@ -224,6 +266,19 @@ class SlamSystem:
         )
         self._last_stamp = stamp
 
+        # Deferred graph-solve gate: the previous mapping step's solve_due
+        # flag is read HERE, one scan later, so the fetch finds a ready
+        # buffer instead of blocking on the in-flight backend program
+        # (every blocking fetch costs a flat ~25-30 ms on the tunnel). The
+        # reference also applies loop corrections asynchronously to
+        # publication (correctPoses on the next keyframe path).
+        if self._solve_flag is not None:
+            flag = self._solve_flag
+            self._solve_flag = None
+            if bool(flag):
+                with self.timers.stage("graph_solve"):
+                    self.backend_state = backend.solve_graph_host(self.backend_state, cfg)
+
         with self.timers.stage("ingest"):
             scan = self._make_raw_scan(points, ring, rel_time)
         with self.timers.stage("project+features"):
@@ -254,9 +309,12 @@ class SlamSystem:
             self.fusion_state, jnp.asarray(stamp), front_rot, front_trans, cfg.filter
         )
 
+        # `out` carries DEVICE arrays: converting them would synchronize
+        # (flat ~25-30 ms each on a tunneled device); callers that need
+        # host values np.asarray()/bool() them on demand.
         out: Dict[str, np.ndarray] = {
-            "front_rot": np.asarray(front_rot),
-            "front_trans": np.asarray(front_trans),
+            "front_rot": front_rot,
+            "front_trans": front_trans,
         }
 
         # back-end at mappingProcessInterval (backMapping.cpp:436)
@@ -268,30 +326,26 @@ class SlamSystem:
             sc_cloud = (
                 raw_cloud if cfg.loop.sc_input_type == "scan_raw" else fc.surfaces
             )
-            with self.timers.stage("backend", sync=lambda: map_out.trans):
+            with self.timers.stage("backend"):
                 self.backend_state, map_out = backend.backend_step(
                     self.backend_state, fc.corners, fc.surfaces, sc_cloud,
                     front_rot, front_trans, jnp.asarray(True), jnp.asarray(stamp), cfg,
                 )
             mapped_rot, mapped_trans = map_out.rot, map_out.trans
-            # pose-graph solve + correctPoses on the keyframe path
-            # (isam->update ×2 + correctPoses, backMapping.cpp:1115-1137,
-            # :1287-1320): host-driven so it compiles at the smallest
-            # capacity bucket covering the live pose count.
-            if bool(map_out.keyframe_added) and bool(self.backend_state.pending_solve):
-                with self.timers.stage("graph_solve"):
-                    self.backend_state = backend.solve_graph_host(self.backend_state, cfg)
-                latest = int(self.backend_state.db.count) - 1
-                mapped_rot = self.backend_state.db.rot[latest]
-                mapped_trans = self.backend_state.db.trans[latest]
+            # pose-graph solve + correctPoses (isam->update ×2 +
+            # correctPoses, backMapping.cpp:1115-1137, :1287-1320) is
+            # host-driven and DEFERRED one scan (see the gate at the top of
+            # process_scan) so its flag fetch never blocks this scan.
+            self._solve_flag = map_out.solve_due
             self.fusion_state = fusion.on_mapping_odometry(
                 self.fusion_state, mapped_rot, mapped_trans, front_rot, front_trans
             )
-            out["mapped_rot"] = np.asarray(mapped_rot)
-            out["mapped_trans"] = np.asarray(mapped_trans)
-            out["keyframe_added"] = bool(map_out.keyframe_added)
-            self.mapped_positions.append(out["mapped_trans"])
-            self.mapped_quats.append(np.asarray(so3.matrix_to_quat(map_out.rot)))
+            out["mapped_rot"] = mapped_rot
+            out["mapped_trans"] = mapped_trans
+            out["keyframe_added"] = map_out.keyframe_added
+            self.mapped_positions.append(mapped_trans)
+            self.mapped_quats.append(self._quat(mapped_rot))
+            self._mapping_steps += 1
 
         # loop closure at loopClosureFrequency (1 Hz default)
         if cfg.loop.enable and stamp - self._last_loop_time >= 1.0 / cfg.loop.frequency_hz:
@@ -307,9 +361,9 @@ class SlamSystem:
                         jnp.asarray(t_prev - self._epoch, jnp.float32),
                         cfg,
                     )
-                    out["loop_closed_external"] = bool(ext_closed)
+                    out["loop_closed_external"] = ext_closed
                 self.backend_state, closed = backend.loop_closure_step(self.backend_state, cfg)
-                out["loop_closed"] = bool(closed)
+                out["loop_closed"] = closed
 
         # prior pipeline at priorFactorFrequency
         if (
@@ -319,14 +373,19 @@ class SlamSystem:
         ):
             self._last_prior_time = stamp
             with self.timers.stage("prior"):
-                self._run_prior_cycle()
+                self.backend_state, _ = self._prior_cycle_jit(
+                    self.fusion_state, jnp.asarray(stamp, jnp.float32),
+                    self.backend_state, self.ground_map, self.vehicle,
+                )
 
-        if "mapped_trans" in out or "loop_closed" in out:
+        # capacity accounting at a low cadence (each check is one sync)
+        if self._mapping_steps >= self._last_capacity_check + 10:
+            self._last_capacity_check = self._mapping_steps
             self._check_capacity()
 
         self.times.append(stamp)
-        self.front_positions.append(out["front_trans"])
-        self.front_quats.append(np.asarray(so3.matrix_to_quat(front_rot)))
+        self.front_positions.append(front_trans)
+        self.front_quats.append(self._quat(front_rot))
         return out
 
     def _check_capacity(self) -> None:
@@ -352,49 +411,35 @@ class SlamSystem:
 
                 warnings.warn(msg, RuntimeWarning)
 
-    def _run_prior_cycle(self) -> None:
-        """predictTimerHandler -> prior_pose_node -> priorInfoHandler ->
-        performPriorAssociation chain (SURVEY.md section 3.4), synchronous."""
-        cfg = self.cfg
-        fut = fusion.predict_future(self.fusion_state, cfg.filter)
-        if not bool(fut.valid):
-            return
-        # future pose in the world frame = fused current pose o local future
-        fused = fusion.fused_pose(self.fusion_state, jnp.asarray(self._last_stamp), cfg.filter)
-        if not bool(fused.valid):
-            return
-        local_rot = so3.quat_to_matrix(fut.final_quat)
-        world_rot = fused.rot @ local_rot
-        world_pos = fused.rot @ fut.final_pos + fused.trans
-        yaw = jnp.arctan2(world_rot[1, 0], world_rot[0, 0])
-
-        obs = prior_assoc.compute_prior(
-            self.ground_map, self.vehicle, world_pos[0], world_pos[1], yaw, cfg.prior, 2048
-        )
-        if bool(obs.success):
-            self.backend_state = backend.record_prior_observation(
-                self.backend_state, obs,
-                obs_time=jnp.asarray(self._last_stamp, jnp.float32), cfg=cfg,
-            )
-
-        # association against the current keyframe: the live ground cloud is
-        # approximated by the ground-map patch around the current pose (the
-        # reference uses the point_seg live segmentation, which is external
-        # to this repo as well, backMapping.cpp:213)
-        cur_xy = self.backend_state.xyz[:2]
-        ground_now_cloud = prior_ground.extract_patch(
-            self.ground_map, cur_xy, 4.0 * cfg.prior.ground_patch_size, 4096
-        )
-        self.backend_state, _ = backend.prior_step(self.backend_state, ground_now_cloud, cfg)
-
     # -- egress ----------------------------------------------------------
+
+    @staticmethod
+    def _np_stack(arrs, width) -> np.ndarray:
+        """One-transfer stack of a device-array list (empty-safe)."""
+        if not arrs:
+            return np.zeros((0, width), np.float32)
+        return np.asarray(jnp.stack(arrs))
+
+    def front_positions_np(self) -> np.ndarray:
+        return self._np_stack(self.front_positions, 3)
+
+    def front_quats_np(self) -> np.ndarray:
+        return self._np_stack(self.front_quats, 4)
+
+    def mapped_positions_np(self) -> np.ndarray:
+        return self._np_stack(self.mapped_positions, 3)
+
+    def mapped_quats_np(self) -> np.ndarray:
+        return self._np_stack(self.mapped_quats, 4)
 
     def keyframe_trajectory(self):
         """(times, positions, quats_wxyz) of the optimized keyframe poses."""
         db = self.backend_state.db
         k = int(db.count)
         rots = np.asarray(db.rot[:k])
-        quats = np.stack([np.asarray(so3.matrix_to_quat(jnp.asarray(r))) for r in rots]) if k else np.zeros((0, 4))
+        quats = (
+            np.asarray(jax.vmap(so3.matrix_to_quat)(jnp.asarray(rots))) if k else np.zeros((0, 4))
+        )
         return np.asarray(db.time[:k]), np.asarray(db.trans[:k]), quats
 
     def save_results(self, out_dir: str) -> None:
@@ -405,7 +450,7 @@ class SlamSystem:
         os.makedirs(out_dir, exist_ok=True)
         rio.write_tum(
             os.path.join(out_dir, "front_end_tum.txt"),
-            self.times, np.asarray(self.front_positions), np.asarray(self.front_quats),
+            self.times, self.front_positions_np(), self.front_quats_np(),
         )
         kt, kp, kq = self.keyframe_trajectory()
         rio.write_tum(os.path.join(out_dir, "optimized_tum.txt"), kt, kp, kq)

@@ -179,7 +179,7 @@ def export_run(slam, out_dir: str) -> None:
     k = int(st.db.count)
     trajs = []
     if slam.front_positions:
-        trajs.append(("front-end", np.asarray(slam.front_positions)))
+        trajs.append(("front-end", slam.front_positions_np()))
     if k:
         trajs.append(("keyframes", np.asarray(st.db.trans[:k])))
 

@@ -61,10 +61,17 @@ def knn_indices(
     inf_row = jnp.where(points_mask, 0.0, jnp.inf)
 
     def one_chunk(qc):
-        # [C, N] squared distances via MXU
+        # [C, N] squared distances via MXU. Raised precision is REQUIRED:
+        # the TPU default multiplies in bf16, which perturbs d2 by ~1e-2
+        # relative — at ~30 m ranges that is +-0.3 m, enough to scramble
+        # the 5-NN ordering entirely (measured 0.41 overlap with the true
+        # 5-NN at default precision). HIGH (3-pass bf16, ~f32-accurate
+        # product at half the cost of 6-pass HIGHEST) restores exact
+        # ordering; also the library-wide default (rolo_tpu/__init__).
         d2 = (
             jnp.sum(qc * qc, axis=1, keepdims=True)
-            - 2.0 * jnp.dot(qc, points.T, preferred_element_type=jnp.float32)
+            - 2.0 * jnp.dot(qc, points.T, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGH)
             + x2[None, :]
         )
         d2 = d2 + inf_row[None, :]
@@ -177,15 +184,21 @@ def estimate_cov6(
         ) * cand_mask[:, None]
 
         def one_chunk(qc):
+            # raised-precision distance matmul (see knn_indices) — bf16 d2
+            # noise shifts the k-th-NN membership threshold
             d2 = (
                 jnp.sum(qc * qc, axis=1, keepdims=True)
-                - 2.0 * jnp.dot(qc, cand_xyz.T, preferred_element_type=jnp.float32)
+                - 2.0 * jnp.dot(qc, cand_xyz.T, preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGH)
                 + x2[None, :]
             ) + inf_row[None, :]
             dk, _ = jax.lax.approx_min_k(d2, k)
             rk = dk[:, -1:]
             w = (d2 <= rk).astype(qc.dtype)
-            return jnp.dot(w, xc, preferred_element_type=jnp.float32)
+            # membership mask is 0/1 = exact in bf16; moments need the
+            # raised precision for the coordinate products
+            return jnp.dot(w, xc, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGH)
 
         mom = jax.lax.map(one_chunk, xyz_p.reshape(-1, chunk, 3)).reshape(-1, 10)[:n]
         cnt = jnp.maximum(mom[:, 0], 1.0)

@@ -167,7 +167,7 @@ class TestSlamSystem:
         voxel-mean scale bias; the reference's shipped CT sign produced
         ~2.6 m here before the gicp.ct_linearize fix)."""
         slam, gt = slam_run
-        est = np.asarray(slam.front_positions)
+        est = slam.front_positions_np()
         res = metrics.ate(est, gt, align=True)
         assert res.rmse < 0.6, res
 
@@ -177,7 +177,7 @@ class TestSlamSystem:
 
     def test_mapped_trajectory(self, slam_run):
         slam, gt = slam_run
-        mp = np.asarray(slam.mapped_positions)
+        mp = slam.mapped_positions_np()
         assert mp.shape[0] >= 5
         assert np.all(np.isfinite(mp))
 

@@ -109,7 +109,7 @@ def main() -> None:
 
     # accuracy sanity on the measured window (not a gate — just recorded)
     from rolo_tpu.runtime import metrics
-    est = np.asarray(slam.front_positions)
+    est = slam.front_positions_np()
     ate = metrics.ate(est, gt[: est.shape[0]])
     kt, kp, _ = slam.keyframe_trajectory()
     stamps = np.asarray([f.stamp for f in frames])

@@ -100,10 +100,15 @@ def main() -> None:
         t = run_on(mesh)
         if t1 is None:
             t1 = t
-        eff = t1 / t
+        speedup = t1 / t
         rows.append({
             "devices": s, "total_batch": b, "time_s": round(t, 4),
-            "regs_per_s": round(b / t, 2), "sharding_efficiency": round(eff, 3),
+            "regs_per_s": round(b / t, 2),
+            "speedup_vs_1dev": round(speedup, 3),
+            "parallel_efficiency": round(speedup / s, 3),
+            # rows with devices > physical cores measure partitioning
+            # overhead only, not scaling (machine-readable caveat)
+            "devices_exceed_physical_cores": s > os.cpu_count(),
         })
         print(json.dumps(rows[-1]))
 
@@ -114,15 +119,19 @@ def main() -> None:
         pod_row = {
             "devices": 8, "mesh": "2x4 (host,batch)", "total_batch": b,
             "time_s": round(t, 4), "regs_per_s": round(b / t, 2),
-            "sharding_efficiency": round(t1 / t, 3),
+            "speedup_vs_1dev": round(t1 / t, 3),
+            "parallel_efficiency": round(t1 / t / 8, 3),
+            "devices_exceed_physical_cores": 8 > os.cpu_count(),
         }
         print(json.dumps(pod_row))
 
     out = {
-        "metric": "sharding_efficiency (t_1dev / t_ndev, same total batch)",
-        "note": ("on virtual CPU devices this measures mesh partitioning + "
-                 "collective overhead; on real slices re-run with per-device "
-                 "constant batch for true weak scaling"),
+        "metric": "strong-scaling speedup (t_1dev / t_ndev, same total batch)",
+        "mode": "strong",  # same total batch; weak scaling = per-device constant batch
+        "note": ("virtual CPU devices share the physical cores: rows where "
+                 "devices_exceed_physical_cores carry no scaling information, "
+                 "only partitioning/collective overhead. The >=80% BASELINE "
+                 "efficiency target needs a real multi-chip slice."),
         "n_physical_cores": os.cpu_count(),
         "rows": rows,
         "pod_2d_mesh": pod_row,

@@ -167,7 +167,7 @@ class PriorConfig:
     prior_pose_params.yaml)."""
 
     enable: bool = True
-    frequency_hz: float = 1.0
+    frequency_hz: float = 5.0  # priorFactorFrequency (prior_pose_params.yaml)
     ground_patch_size: float = 2.0
     near_prior_radius: float = 1.0
     fitness_score: float = 0.01

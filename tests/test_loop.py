@@ -243,3 +243,56 @@ class TestVerifyAndSubmap:
             db, jnp.zeros(16, bool), search_radius=5.0, time_diff=30.0
         )
         assert not bool(found)  # all times within 8 s
+
+
+class TestScInputParity:
+    """VERDICT round-2 item 9: the reference builds scan-context from the
+    FULL deskewed cloud (backMapping.cpp:1183-1216); the runtime feeds the
+    projected cloud (first-return dedup + range gates + downsampleRate).
+    Quantify the descriptor delta between the two inputs at the default
+    config — it must stay far below the SC acceptance threshold so the
+    choice cannot flip loop decisions."""
+
+    def test_projected_vs_full_cloud_descriptor(self):
+        import jax.numpy as jnp
+
+        from rolo_tpu.config import LoopConfig, RoloConfig
+        from rolo_tpu.loop import scancontext as sc
+        from rolo_tpu.pointcloud.projection import RawScan, project_scan
+        from rolo_tpu.sim import SimConfig, generate_sequence
+
+        cfg = RoloConfig()
+        lc = cfg.loop
+        sim = SimConfig(n_scans=2, n_cols=1024, sensor="velodyne32",
+                        period=24.0, roughness=1.0, seed=5)
+        frame = list(generate_sequence(sim))[-1]
+
+        cap = cfg.static.max_raw_points
+        m = min(len(frame.points), cap)
+        xyz = np.zeros((cap, 3), np.float32); ring = np.zeros((cap,), np.int32)
+        rel = np.zeros((cap,), np.float32); mask = np.zeros((cap,), bool)
+        xyz[:m], ring[:m], rel[:m], mask[:m] = (
+            frame.points[:m], frame.ring[:m], frame.rel_time[:m], True)
+
+        img = project_scan(
+            RawScan(jnp.asarray(xyz), jnp.asarray(ring), jnp.asarray(rel), jnp.asarray(mask)),
+            cfg.sensor.n_scan, cfg.sensor.horizon_scan,
+            cfg.sensor.lidar_min_range, cfg.sensor.lidar_max_range,
+            cfg.sensor.downsample_rate,
+        )
+
+        def desc(points, pmask):
+            return sc.make_descriptor(points, pmask, lc.sc_num_ring, lc.sc_num_sector,
+                                      lc.sc_max_radius, lc.sc_lidar_height)
+
+        d_full = desc(jnp.asarray(xyz), jnp.asarray(mask))
+        d_proj = desc(img.xyz.reshape(-1, 3), img.mask.reshape(-1))
+
+        # cosine column distance — the SC matching metric
+        # (Scancontext.cpp:93-148); acceptance threshold is 0.4
+        a = np.asarray(d_full); b = np.asarray(d_proj)
+        na = np.linalg.norm(a, axis=0); nb = np.linalg.norm(b, axis=0)
+        ok = (na > 0) & (nb > 0)
+        cos = np.sum(a[:, ok] * b[:, ok], axis=0) / (na[ok] * nb[ok])
+        dist = 1.0 - np.mean(cos)
+        assert dist < 0.05, dist  # << 0.4 threshold: cannot flip decisions

@@ -170,6 +170,8 @@ def main():
     elapsed = time.perf_counter() - t0
 
     regs_per_s = batch * iters / elapsed
+    from rolo_tpu.runtime.platform import bench_metadata
+
     print(
         json.dumps(
             {
@@ -177,6 +179,7 @@ def main():
                 "value": round(regs_per_s, 2),
                 "unit": "registrations/s/chip",
                 "vs_baseline": round(regs_per_s / 10.0, 2),
+                "machine": bench_metadata(),
             }
         )
     )

@@ -19,6 +19,15 @@ import jax as _jax
 # "high" = 3-pass bf16 (~f32-equivalent product accuracy at half the
 # cost of the 6-pass "highest"); measured identical k-NN orderings and
 # end-to-end ATE vs "highest" on the sim benches.
+#
+# SIDE EFFECT (deliberate, process-global): importing rolo_tpu raises the
+# default matmul precision for the WHOLE host process, including unrelated
+# JAX code (a colocated bf16 ML model will run 3-pass matmuls everywhere).
+# Scoping per-matmul would require a precision= argument at every one of
+# the library's >100 contractions and is easy to miss in new code — one
+# global default is the safe direction for a geometry library. Hosts that
+# need bf16 elsewhere can wrap those regions in
+# `jax.default_matmul_precision("default")`.
 _jax.config.update("jax_default_matmul_precision", "high")
 
 from .config import RoloConfig, load_config

@@ -135,6 +135,14 @@ class MappingConfig:
     # (31 vs 22 ms at 12k x 64k), so candidate reuse is a pessimization —
     # kept for experimentation only.
     scan2map_candidates: int = 0
+    # Host cadence (sim-time s) for dispatching the pose-graph re-solve
+    # when loop/prior programs have run since the last solve (TPU knob, no
+    # reference analog — the reference solves on every keyframe,
+    # backMapping.cpp:1115). The solve is a pure async dispatch (bucket
+    # from the host-side mapping-step count, no device fetch); corrections
+    # apply up to this much later, matching the reference's own async
+    # correctPoses-on-next-keyframe semantics.
+    graph_solve_check_interval: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -189,7 +197,12 @@ class PriorConfig:
     # cost deltas, so these are rescaled to keep the same "converged within
     # max_iters" semantics (PoseSolver::Solve, pose_solver.cpp:467-471).
     tol_cost: float = 1e-8
-    tol_step: float = 1e-5
+    # 1e-5 rejects ~half of otherwise-good solves in f32: LM steps on
+    # meter-scale z bottom out at ~1e-5..1e-4 (measured fail_conv 28/61
+    # prior ticks on the sim diagnostic, tools/diag_prior.py); the
+    # roll/pitch/wheel-distance FailureDetection gates still reject bad
+    # solutions after convergence.
+    tol_step: float = 1e-4
     ground_avg_radius: float = 0.3
     ground_min_neighbors: int = 5
     tolerance_z_min: float = -10.0

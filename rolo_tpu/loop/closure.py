@@ -168,7 +168,18 @@ def icp_point2point(
     d2 = jnp.sum((moved - tgt.xyz[idx]) ** 2, axis=-1)
     wm = src.mask.astype(dtype)
     fitness = jnp.sum(wm * d2) / jnp.maximum(jnp.sum(wm), 1e-6)
-    return ICPResult(rot, trans, fitness, conv)
+    # pcl hasConverged() semantics: align() "converges" whenever it
+    # terminates with a usable correspondence set — the epsilon test OR the
+    # iteration budget both count (DefaultConvergenceCriteria
+    # CONVERGENCE_CRITERIA_ITERATIONS); it is false only for degenerate runs
+    # with too few gated correspondences. The f32 epsilon test alone sits at
+    # its floor (~|x|·eps per Kabsch re-estimate, ~3e-6 at 30 m coordinates)
+    # without ever meeting 1e-6, so gating on it would reject perfect
+    # alignments — this silently zeroed ALL prior factors through round 3
+    # (associate_prior gates on `converged`, backMapping.cpp:2446 analog).
+    n_corr = jnp.sum(src.mask & tgt.mask[idx] & (d2 < max_corr_dist**2))
+    converged = n_corr >= 3
+    return ICPResult(rot, trans, fitness, converged)
 
 
 class LoopFactor(NamedTuple):

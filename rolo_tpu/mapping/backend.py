@@ -274,13 +274,22 @@ def _apply_solution(state: BackendState, sol_rot, sol_trans) -> BackendState:
     )
 
 
-def solve_graph_host(state: BackendState, cfg: RoloConfig = None) -> BackendState:
+def solve_graph_host(
+    state: BackendState, cfg: RoloConfig = None, count_hint: int = None
+) -> BackendState:
     """Host-driven pose-graph solve + correctPoses (backMapping.cpp:
     1115-1137, 1287-1320): slice the graph/DB to the smallest capacity
     bucket covering the live keyframe count, run the dense GN re-solve,
-    and scatter the corrected poses back. Called by the runtime when
-    `pending_solve` and a keyframe just landed."""
-    count = int(state.db.count)
+    and scatter the corrected poses back.
+
+    `count_hint`: host-known UPPER BOUND on the keyframe count (e.g. the
+    number of mapping steps driven). When given, the bucket is chosen from
+    it and NO device value is fetched — on a tunneled device a fetch fences
+    the whole dispatch queue (measured ~0.5 s with the async driver running
+    ~10 scans deep), so the hint turns the solve into a pure async dispatch.
+    A too-large hint only costs a bigger bucket, never correctness: the
+    solver masks by the device-side db.count."""
+    count = int(state.db.count) if count_hint is None else int(count_hint)
     if count < 1:
         return state._replace(pending_solve=jnp.asarray(False))
     cap = state.db.capacity

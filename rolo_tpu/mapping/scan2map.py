@@ -330,7 +330,11 @@ def scan2map_optimize(
             # full-submap search at the current pose. 30 m converts the
             # rotation delta to a displacement bound at lidar range.
             cand_c, cand_s, radius, a_rpy, a_xyz = cand
-            moved = jnp.linalg.norm(xyz - a_xyz) + 30.0 * jnp.linalg.norm(rpy - a_rpy)
+            # per-axis wrap to (-pi, pi] (ADVICE round-3): a yaw crossing
+            # +-pi between bind and iteration must not read as ~2*pi moved
+            drpy = rpy - a_rpy
+            drpy = jnp.arctan2(jnp.sin(drpy), jnp.cos(drpy))
+            moved = jnp.linalg.norm(xyz - a_xyz) + 30.0 * jnp.linalg.norm(drpy)
             cand = jax.lax.cond(
                 moved > 0.5 * radius,
                 lambda: full_cand(rpy, xyz),

@@ -204,32 +204,42 @@ def associate_prior(
     )
     fit_ok = icp.converged & (icp.fitness < cfg.fitness_score)
 
-    # odometry vs prior relative motion, LEFT difference (:2065-2066)
-    tbb_odom = current.compose(linked.inverse())
-    tbb_prior = SE3(icp.rot, icp.trans).compose(rel_prior)
+    # Odometry vs corrected-prior relative motion, both expressed in the
+    # LINKED keyframe's frame (right differences). Documented deviation:
+    # the reference compares the LEFT difference `current * linked^-1`
+    # against `icp * prior_world` (:2065-2066) — two quantities in
+    # different frames whose z/roll/pitch only agree when the linked pose
+    # sits near the origin with little accumulated yaw (the left-difference
+    # z picks up ~|yaw_diff|*|linked_xy|, meters at 30 m from the start, so
+    # the 1 m gate rejects every candidate on a curving trajectory). The
+    # right-difference form compares the same physical quantity — the
+    # relative pose linked -> {current, corrected prior} — and reduces to
+    # the reference's form when linked ~ identity.
+    odom_rel = linked.inverse().compose(current)
+    icp_in_linked = linked.inverse().compose(SE3(icp.rot, icp.trans)).compose(linked)
+    prior_rel = icp_in_linked.compose(rel_prior)
 
-    o_roll, o_pitch, o_yaw = so3.matrix_to_rpy(tbb_odom.rot)
-    p_roll, p_pitch, _ = so3.matrix_to_rpy(tbb_prior.rot)
+    o_roll, o_pitch, o_yaw = so3.matrix_to_rpy(odom_rel.rot)
+    p_roll, p_pitch, _ = so3.matrix_to_rpy(prior_rel.rot)
 
     def angdiff(a, b):
         return jnp.abs(jnp.arctan2(jnp.sin(a - b), jnp.cos(a - b)))
 
     diff_ok = (
-        (jnp.abs(tbb_odom.trans[2] - tbb_prior.trans[2]) <= cfg.trans_diff_tolerance)
+        (jnp.abs(odom_rel.trans[2] - prior_rel.trans[2]) <= cfg.trans_diff_tolerance)
         & (angdiff(o_roll, p_roll) <= cfg.rot_diff_tolerance_rad)
         & (angdiff(o_pitch, p_pitch) <= cfg.rot_diff_tolerance_rad)
     )
 
+    # slerp-blend roll/pitch toward the prior, keep odometry yaw and
+    # translation (z-blend disabled in the reference, :2072-2073); the
+    # between factor IS the blended right difference linked -> current
     w = 0.2  # priorWeight (:2069)
     target_rot = so3.rpy_to_matrix(p_roll, p_pitch, o_yaw)
     blended_q = _slerp(
-        so3.matrix_to_quat(tbb_odom.rot), so3.matrix_to_quat(target_rot), w
+        so3.matrix_to_quat(odom_rel.rot), so3.matrix_to_quat(target_rot), w
     )
-    prior_trans_se3 = SE3(so3.quat_to_matrix(blended_q), tbb_odom.trans)
-
-    pose_from = linked
-    pose_to = prior_trans_se3.compose(linked)
-    rel = pose_from.inverse().compose(pose_to)
+    rel = SE3(so3.quat_to_matrix(blended_q), odom_rel.trans)
 
     s = jnp.maximum(icp.fitness, 1e-6) * cfg.factor_weight
     noise = jnp.stack([s, s, jnp.asarray(1e-6, dtype), jnp.asarray(1e-6, dtype), jnp.asarray(1e-6, dtype), s])

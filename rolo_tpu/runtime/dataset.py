@@ -99,6 +99,10 @@ def run_frames(
         if progress_every and n % progress_every == 0:
             print(f"  scan {n} ({time.perf_counter() - t_start:.1f}s)", flush=True)
     wall = time.perf_counter() - t_start
+    # flush the deferred graph solve + final capacity check BEFORE reading
+    # counts/poses (ADVICE round-3: loop corrections near trajectory end
+    # were silently dropped, and short runs never hit the capacity cadence)
+    slam.finalize()
 
     res = SequenceResult(
         n_scans=n, wall_s=wall, scans_per_s=n / max(wall, 1e-9),

@@ -45,3 +45,31 @@ def enable_compilation_cache(cache_dir: str = None) -> str:
     except Exception:
         pass  # older jax without these knobs
     return cache_dir
+
+
+def bench_metadata() -> dict:
+    """Machine/provenance stamp for every bench JSON (ADVICE round-2:
+    rows from different hosts/devices were indistinguishable). Includes
+    the git SHA of the working tree at run time."""
+    import platform as _plat
+    import subprocess
+
+    import jax
+
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=5,
+            cwd=os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ).stdout.strip() or None
+    except Exception:
+        sha = None
+    dev = jax.devices()[0]
+    return {
+        "platform": dev.platform,
+        "device": getattr(dev, "device_kind", str(dev)),
+        "n_devices": jax.device_count(),
+        "jax_version": jax.__version__,
+        "host": _plat.node() or "unknown",
+        "git_sha": sha,
+    }

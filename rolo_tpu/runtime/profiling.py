@@ -18,7 +18,14 @@ import numpy as np
 
 
 class StageTimers:
-    """Accumulates wall-clock samples per pipeline stage."""
+    """Accumulates wall-clock samples per pipeline stage.
+
+    Under the async pipeline driver (runtime/slam.py) most stages time
+    DISPATCH only — the host enqueues device work and moves on; stages
+    without a `sync` argument therefore understate device execution cost.
+    `wall_s` / scans_per_s in SequenceResult remain truthful end-to-end
+    numbers. For device-true per-stage costs use tools/profile_stages.py,
+    which runs each stage synced in isolation."""
 
     def __init__(self) -> None:
         self._samples: Dict[str, list] = defaultdict(list)

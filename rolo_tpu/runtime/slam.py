@@ -93,8 +93,14 @@ class SlamSystem:
         self._epoch: Optional[float] = None
 
         # per-stage wall-clock metrics (the reference's solver printf
-        # timers, lidarOdometry.cpp:476-498, made structured)
+        # timers, lidarOdometry.cpp:476-498, made structured).
+        # sync_stages=False (default): stages time DISPATCH only — fastest
+        # end-to-end, but per-stage ms are not device-true (the first
+        # synced point absorbs every queued program). Set True for
+        # profiling runs: each stage blocks on its own outputs, so
+        # stage_ms attribute device time correctly at an end-to-end cost.
         self.timers = StageTimers()
+        self.sync_stages = False
 
         # capacity-exhaustion accounting (BackendState.dropped_counts read
         # back after backend-touching steps; see StaticConfig.on_capacity)
@@ -116,7 +122,10 @@ class SlamSystem:
         self.mapped_quats: List[jnp.ndarray] = []
         self._mapping_steps = 0
         self._last_capacity_check = 0
-        self._solve_flag = None  # deferred solve_due from the last mapping step
+        # host-side solve scheduling: True when a loop/prior/external
+        # program has been dispatched since the last graph solve
+        self._graph_dirty = False
+        self._next_solve_check = 0.0
 
         if cfg.sensor.deskew_enabled:
             # full deskew from the last odometry increment
@@ -173,12 +182,12 @@ class SlamSystem:
             )
         )
 
-        # Minimal-synchronization driving: on a remote-tunneled device EVERY
-        # host synchronization (block_until_ready / np.asarray / bool())
-        # costs a flat ~25-30 ms regardless of payload, so the per-scan path
-        # is dispatched fully asynchronously — the only blocking fetch per
-        # scan is the back-end's solve_due flag (needed for the host-driven
-        # bucketed graph solve), and trajectory egress stacks device arrays
+        # Zero-synchronization driving: on a remote-tunneled device every
+        # host value fetch fences the whole dispatch queue (~25 ms idle,
+        # ~0.5 s with the async driver running deep), so the steady-state
+        # per-scan path contains NO blocking fetch at all — the graph solve
+        # is scheduled from host-side dispatch knowledge (_graph_dirty +
+        # mapping-step count), and trajectory egress stacks device arrays
         # once at the end of the run.
         self._quat = jax.jit(so3.matrix_to_quat)
 
@@ -266,22 +275,34 @@ class SlamSystem:
         )
         self._last_stamp = stamp
 
-        # Deferred graph-solve gate: the previous mapping step's solve_due
-        # flag is read HERE, one scan later, so the fetch finds a ready
-        # buffer instead of blocking on the in-flight backend program
-        # (every blocking fetch costs a flat ~25-30 ms on the tunnel). The
-        # reference also applies loop corrections asynchronously to
+        # Pose-graph solve gate, fetch-free: loop/prior/external programs
+        # are the ONLY sources of new non-odometry factors, and the host
+        # knows exactly when it dispatched one (_graph_dirty). Rather than
+        # fetching the device's solve_due flag — on a tunneled device a
+        # value fetch fences the WHOLE dispatch queue, measured ~0.5 s with
+        # the async driver running ~10 scans deep — the solve is dispatched
+        # unconditionally at `graph_solve_check_interval` cadence whenever
+        # dirty. A solve with no accepted factors is a cheap no-op (GN from
+        # a zero-residual init), and the bucket comes from the host-side
+        # mapping-step count, so the whole path stays pure async dispatch.
+        # The reference also applies loop corrections asynchronously to
         # publication (correctPoses on the next keyframe path).
-        if self._solve_flag is not None:
-            flag = self._solve_flag
-            self._solve_flag = None
-            if bool(flag):
-                with self.timers.stage("graph_solve"):
-                    self.backend_state = backend.solve_graph_host(self.backend_state, cfg)
+        if (
+            self._graph_dirty
+            and self._mapping_steps >= 1
+            and stamp >= self._next_solve_check
+        ):
+            self._next_solve_check = stamp + cfg.mapping.graph_solve_check_interval
+            self._graph_dirty = False
+            with self.timers.stage("graph_solve"):
+                self.backend_state = backend.solve_graph_host(
+                    self.backend_state, cfg, count_hint=self._mapping_steps + 1
+                )
 
+        prof = self.sync_stages  # device-true per-stage attribution
         with self.timers.stage("ingest"):
             scan = self._make_raw_scan(points, ring, rel_time)
-        with self.timers.stage("project+features"):
+        with self.timers.stage("project+features", sync=(lambda: feat.xyz) if prof else None):
             if cfg.sensor.deskew_enabled:
                 step_rpy, step_vel = self._deskew_increment(
                     self.odom_state, self.fusion_state,
@@ -295,8 +316,11 @@ class SlamSystem:
             fc = self._extract(ring_img)
             feat = concat_clouds(fc.corners, fc.surfaces, cfg.static.max_feature_points)
 
-        # front-end odometry
-        with self.timers.stage("frontend", sync=lambda: odom_out.pose_trans):
+        # front-end odometry. No sync in throughput mode: with the
+        # poll-based solve gate above there is NO blocking host fetch
+        # anywhere in the steady-state per-scan path — XLA's bounded
+        # in-flight execution queue throttles dispatch-ahead.
+        with self.timers.stage("frontend", sync=(lambda: odom_out.pose_trans) if prof else None):
             self.odom_state, odom_out = odometry.scan_step(
                 self.odom_state, feat.xyz, feat.mask, jnp.asarray(interval, feat.xyz.dtype),
                 cfg.registration, cfg.static.max_voxels, cfg.registration.k_correspondences,
@@ -326,17 +350,12 @@ class SlamSystem:
             sc_cloud = (
                 raw_cloud if cfg.loop.sc_input_type == "scan_raw" else fc.surfaces
             )
-            with self.timers.stage("backend"):
+            with self.timers.stage("backend", sync=(lambda: map_out.trans) if prof else None):
                 self.backend_state, map_out = backend.backend_step(
                     self.backend_state, fc.corners, fc.surfaces, sc_cloud,
                     front_rot, front_trans, jnp.asarray(True), jnp.asarray(stamp), cfg,
                 )
             mapped_rot, mapped_trans = map_out.rot, map_out.trans
-            # pose-graph solve + correctPoses (isam->update ×2 +
-            # correctPoses, backMapping.cpp:1115-1137, :1287-1320) is
-            # host-driven and DEFERRED one scan (see the gate at the top of
-            # process_scan) so its flag fetch never blocks this scan.
-            self._solve_flag = map_out.solve_due
             self.fusion_state = fusion.on_mapping_odometry(
                 self.fusion_state, mapped_rot, mapped_trans, front_rot, front_trans
             )
@@ -350,7 +369,7 @@ class SlamSystem:
         # loop closure at loopClosureFrequency (1 Hz default)
         if cfg.loop.enable and stamp - self._last_loop_time >= 1.0 / cfg.loop.frequency_hz:
             self._last_loop_time = stamp
-            with self.timers.stage("loop_closure"):
+            with self.timers.stage("loop_closure", sync=(lambda: out["loop_closed"]) if prof else None):
                 # externally injected pairs are tried first, one per pass
                 # (performRSLoopClosure order, backMapping.cpp:2331-2336)
                 if self._external_loops:
@@ -364,6 +383,7 @@ class SlamSystem:
                     out["loop_closed_external"] = ext_closed
                 self.backend_state, closed = backend.loop_closure_step(self.backend_state, cfg)
                 out["loop_closed"] = closed
+            self._graph_dirty = True
 
         # prior pipeline at priorFactorFrequency
         if (
@@ -372,11 +392,12 @@ class SlamSystem:
             and stamp - self._last_prior_time >= 1.0 / cfg.prior.frequency_hz
         ):
             self._last_prior_time = stamp
-            with self.timers.stage("prior"):
-                self.backend_state, _ = self._prior_cycle_jit(
+            with self.timers.stage("prior", sync=(lambda: _matched) if prof else None):
+                self.backend_state, _matched = self._prior_cycle_jit(
                     self.fusion_state, jnp.asarray(stamp, jnp.float32),
                     self.backend_state, self.ground_map, self.vehicle,
                 )
+            self._graph_dirty = True
 
         # capacity accounting at a low cadence (each check is one sync)
         if self._mapping_steps >= self._last_capacity_check + 10:
@@ -411,6 +432,20 @@ class SlamSystem:
 
                 warnings.warn(msg, RuntimeWarning)
 
+    def finalize(self) -> None:
+        """Flush deferred end-of-run work (ADVICE round-3): apply a pending
+        graph solve — the async driver defers each mapping step's solve_due
+        one scan, and loop closures often land near trajectory end where no
+        further keyframe would trigger the solve — and run a final capacity
+        check so dropped_counts are surfaced regardless of the 10-step
+        check cadence. Idempotent and cheap when nothing is pending (one
+        scalar fetch)."""
+        if self._graph_dirty or bool(np.asarray(self.backend_state.pending_solve)):
+            self._graph_dirty = False
+            with self.timers.stage("graph_solve"):
+                self.backend_state = backend.solve_graph_host(self.backend_state, self.cfg)
+        self._check_capacity()
+
     # -- egress ----------------------------------------------------------
 
     @staticmethod
@@ -433,7 +468,9 @@ class SlamSystem:
         return self._np_stack(self.mapped_quats, 4)
 
     def keyframe_trajectory(self):
-        """(times, positions, quats_wxyz) of the optimized keyframe poses."""
+        """(times, positions, quats_wxyz) of the optimized keyframe poses.
+        Applies any pending loop/prior graph correction first (finalize)."""
+        self.finalize()
         db = self.backend_state.db
         k = int(db.count)
         rots = np.asarray(db.rot[:k])
@@ -447,6 +484,7 @@ class SlamSystem:
         PCD (saveTUM/saveGlobalPCDs, backMapping.cpp:1500-1608, 2679-2699)."""
         import os
 
+        self.finalize()
         os.makedirs(out_dir, exist_ok=True)
         rio.write_tum(
             os.path.join(out_dir, "front_end_tum.txt"),

@@ -278,3 +278,20 @@ class TestEndToEndSim:
         assert res.ate_frontend.rmse < 0.5, res.to_json()
         assert (tmp_path / "out" / "front_end_tum.txt").exists()
         assert (tmp_path / "out" / "result.json").exists()
+
+    @pytest.mark.slow
+    def test_priors_fire_end_to_end(self):
+        """Ground-prior factors must be ACCEPTED through the real
+        SlamSystem path (VERDICT round-3: every recorded end-to-end run had
+        n_prior_factors=0 — the chain silently zeroed on the ICP
+        `converged` gate and frame-inconsistent diff gates). Default
+        config, rough sim terrain, exact-GT ground map."""
+        from rolo_tpu.runtime.dataset import run_simulated
+
+        sim_cfg = SimConfig(n_scans=120, n_cols=512, sensor="velodyne32",
+                            period=24.0, seed=0)
+        res = run_simulated(RoloConfig(), sim_cfg, with_priors=True)
+        assert res.n_prior_factors > 0, res.to_json()
+        # the factors must not wreck the trajectory either
+        assert res.ate_keyframes is not None
+        assert res.ate_keyframes.rmse < 0.5, res.to_json()

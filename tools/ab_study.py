@@ -36,7 +36,11 @@ def main() -> None:
     ap.add_argument("--out", default="AB_STUDY.json")
     args = ap.parse_args()
 
-    from rolo_tpu.runtime.platform import enable_compilation_cache, pin_requested_platform
+    from rolo_tpu.runtime.platform import (
+        bench_metadata,
+        enable_compilation_cache,
+        pin_requested_platform,
+    )
 
     pin_requested_platform()
     enable_compilation_cache()
@@ -72,7 +76,7 @@ def main() -> None:
         results[name] = row
         print(f"[{name}] " + json.dumps(row))
 
-    out = {"sim": dataclasses.asdict(sim), "results": results}
+    out = {"sim": dataclasses.asdict(sim), "machine": bench_metadata(), "results": results}
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
     print(f"wrote {args.out}", file=sys.stderr)

@@ -62,6 +62,9 @@ def main() -> None:
                     help="chip peak (v5e bf16 = 197); MFU is vs this")
     ap.add_argument("--no-loops", action="store_true")
     ap.add_argument("--no-priors", action="store_true")
+    ap.add_argument("--synced", action="store_true",
+                    help="profiling mode: per-stage device-true timing "
+                         "(slower end-to-end; stage_ms become meaningful)")
     ap.add_argument("--out", default="BENCH_PIPELINE.json")
     args = ap.parse_args()
 
@@ -90,15 +93,21 @@ def main() -> None:
     frames = list(generate_sequence(sim, scene))
 
     slam = SlamSystem(cfg)
+    slam.sync_stages = bool(args.synced)
     use_priors = cfg.prior.enable and not args.no_priors
     if use_priors:
         slam.set_ground_map(ground_map_points(sim, scene))
 
     gt = np.stack([f.gt_trans for f in frames])
 
-    # warmup: trigger every cadence branch's compile
+    # warmup: trigger every cadence branch's compile, including the first
+    # graph-solve bucket (otherwise its multi-second compile lands inside
+    # the measured window when the first loop/prior factor arrives)
     for f in frames[: args.warmup]:
         slam.process_scan(f.points, f.stamp, ring=f.ring, rel_time=f.rel_time)
+    from rolo_tpu.mapping import backend as _backend
+
+    slam.backend_state = _backend.solve_graph_host(slam.backend_state, cfg)
     slam.timers.reset()
 
     t0 = time.perf_counter()
@@ -116,14 +125,51 @@ def main() -> None:
     ia, ib = metrics.associate_by_time(np.asarray(kt), stamps, max_diff=0.05)
     ate_kf = metrics.ate(kp[ia], gt[ib]) if len(ia) >= 3 else None
 
-    stage = {k: round(v["mean_ms"], 3) for k, v in slam.timers.summary().items()}
+    # p50 alongside mean: a single jit compile (e.g. the first graph solve
+    # bucket) inflates a 30-sample mean by seconds — the median is the
+    # steady-state device cost (VERDICT round-3: the "2780 ms graph_solve"
+    # A/B row was exactly this artifact)
+    stage = {k: {"mean_ms": round(v["mean_ms"], 3), "p50_ms": round(v["p50_ms"], 3),
+                 "count": v["count"]}
+             for k, v in slam.timers.summary().items()}
 
     flops = registration_mfu(slam, args.peak_tflops)
-    frontend_s = slam.timers.summary().get("frontend", {}).get("mean_ms", 0.0) / 1e3
+    # Device-true frontend step time: the stage timer measures DISPATCH
+    # under the async driver (sub-ms), so MFU must come from an amortized
+    # isolated re-timing of the jitted scan_step at the run's real shapes.
+    import jax
+
+    from rolo_tpu.frontend import odometry as _odo
+
+    _f = frames[-1]
+    _scan = slam._make_raw_scan(_f.points, _f.ring, _f.rel_time)
+    _img = slam._project(_scan) if not cfg.sensor.deskew_enabled else None
+    if _img is None:
+        frontend_s = slam.timers.summary().get("frontend", {}).get("mean_ms", 0.0) / 1e3
+    else:
+        from rolo_tpu.pointcloud.cloud import concat_clouds as _cc
+
+        import jax.numpy as jnp
+
+        _fc = slam._extract(_img)
+        _feat = _cc(_fc.corners, _fc.surfaces, cfg.static.max_feature_points)
+        _dt = jnp.asarray(0.1, jnp.float32)
+        _st = slam.odom_state
+        _step = lambda: _odo.scan_step(
+            _st, _feat.xyz, _feat.mask, _dt, cfg.registration,
+            cfg.static.max_voxels, cfg.registration.k_correspondences)
+        jax.block_until_ready(_step())
+        _t0 = time.perf_counter()
+        _iters = 10
+        for _ in range(_iters):
+            _out = _step()
+        jax.block_until_ready(_out)
+        frontend_s = (time.perf_counter() - _t0) / _iters
     mfu = (flops / frontend_s / (args.peak_tflops * 1e12)) if frontend_s else 0.0
 
     out = {
         "metric": "pipeline_scans_per_s",
+        "synced_stage_timing": bool(args.synced),
         "value": round(scans_per_s, 2),
         "unit": "scans/s/chip (end-to-end)",
         "vs_baseline": round(scans_per_s / 10.0, 2),
@@ -134,10 +180,19 @@ def main() -> None:
         "ate_frontend_rmse_m": round(ate.rmse, 4),
         "ate_keyframes_rmse_m": round(ate_kf.rmse, 4) if ate_kf else None,
         "frontend_flops_per_step": flops,
+        "frontend_device_ms": round(frontend_s * 1e3, 3),
         "frontend_mfu_vs_peak": round(mfu, 5),
         "peak_tflops_assumed": args.peak_tflops,
         "drop_counts": slam.drop_counts,
+        # accepted factor counts (VERDICT round-3: every recorded run had
+        # n_prior_factors=0 — the counts must be first-class bench output)
+        "n_keyframes": int(slam.backend_state.db.count),
+        "n_loop_factors": int(slam.backend_state.graph.loops.count),
+        "n_prior_factors": int(slam.backend_state.graph.priors.count),
     }
+    from rolo_tpu.runtime.platform import bench_metadata
+
+    out["machine"] = bench_metadata()
     print(json.dumps(out))
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)

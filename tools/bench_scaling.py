@@ -136,6 +136,9 @@ def main() -> None:
         "rows": rows,
         "pod_2d_mesh": pod_row,
     }
+    from rolo_tpu.runtime.platform import bench_metadata
+
+    out["machine"] = bench_metadata()
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
     print(f"wrote {args.out}")

@@ -32,7 +32,14 @@ class SensorConfig:
     lidar_min_range: float = 2.0
     lidar_max_range: float = 1000.0
     lidar_noise_bound: float = 0.05
-    deskew_enabled: bool = False
+    # Deskew ON by default (round-4 decision): with ESKF-sourced increments
+    # and the translational correction, the 300-scan A/B measures keyframe
+    # ATE 0.022 m (on) vs 0.108 m (off) at identical keyframe/loop/prior
+    # counts (AB_STUDY.json; the round-3 keyframe-collapse anomaly was an
+    # artifact of the pre-round-4 solve feedback and is gone). The
+    # reference deskews too (imageProjection.cpp:266-396) — False was the
+    # conservative round-2 default while the increment source was unstable.
+    deskew_enabled: bool = True
     scan_period: float = 0.1  # 10 Hz design point (imageProjection.cpp:79)
 
 
@@ -88,6 +95,12 @@ class RegistrationConfig:
     # translation accuracy at ~0.1-0.2 m. 0 disables (reference flow).
     ct_fine_resolution: float = 0.25
     ct_fine_neighbors: str = "direct7"
+    # failureDetection gating (lidarOdometry.cpp:629-643): when True, a
+    # step exceeding the velocity/rotation-rate bounds is REJECTED — the
+    # pose holds at the previous estimate (the reset-banner path :567-569).
+    # Default False = reference parity (the call sites are commented out,
+    # :596-599); the flag is still computed and returned either way.
+    enable_failure_gate: bool = False
 
 
 @dataclass(frozen=True)
@@ -212,6 +225,14 @@ class PriorConfig:
     tolerance_wheel_distance: float = 1.0
     wheel_xy: Tuple[Tuple[float, float], ...] = ()
     lidar_offset_trans: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # Live ground mapping (the in-repo analog of the reference's EXTERNAL
+    # `point_seg ground_mapping` /voxel_map input,
+    # launch/module_prior.launch:9): ground segmented from each scan
+    # (LeGO-LOAM inter-ring slope test) accumulates into a rolling
+    # world-frame map consistent with the drifting estimate. Used whenever
+    # no external map was provided via SlamSystem.set_ground_map.
+    ground_seg_slope_deg: float = 10.0
+    ground_seg_rings: int = 0  # 0 = lower half of the rings
 
 
 @dataclass(frozen=True)
@@ -264,6 +285,10 @@ class StaticConfig:
     max_loop_factors: int = 256
     max_prior_factors: int = 512
     knn_query_chunk: int = 512
+    # live ground map ring buffer: slots x points/slot (one slot per
+    # mapping step -> ~13 s of trail at the default cadences)
+    live_ground_slots: int = 64
+    live_ground_slot_points: int = 512
     # What the runtime does when a fixed-capacity store drops an event
     # (BackendState.dropped_counts): "warn" logs once per category and keeps
     # going; "error" raises CapacityExhausted. Never silent.

@@ -131,11 +131,16 @@ def scan_step(
     d_r = jnp.sum(_so3.log(step_inv.rot) ** 2)
     failure = ((d_t / dt2 >= 5.0) | (d_r / dt2 >= 0.04)) & ~first
     if enable_failure_gate:
+        # reset path (lidarOdometry.cpp:567-569 banner): hold the pose AND
+        # zero the step, so the next forward prediction does not re-seed
+        # from the rejected jump
         keep = failure
         pose = SE3(
             jnp.where(keep, state.pose_rot, pose.rot),
             jnp.where(keep, state.pose_trans, pose.trans),
         )
+        step_rot = jnp.where(keep, jnp.eye(3, dtype=dtype), step_rot)
+        step_trans = jnp.where(keep, jnp.zeros(3, dtype=dtype), step_trans)
 
     new_state = OdometryState(
         pose_rot=pose.rot,

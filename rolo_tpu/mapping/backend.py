@@ -73,10 +73,10 @@ class BackendOutput(NamedTuple):
     # exhaustion must be host-visible, not silent (the runtime escalates per
     # StaticConfig.on_capacity).
     keyframe_dropped: jnp.ndarray  # [] bool
-    # pending_solve & keyframe_added: the ONE flag the runtime must fetch
-    # per mapping step to drive the host-side bucketed graph solve
-    # (solve_graph_host) — kept in the output so the host pays a single
-    # small sync instead of two.
+    # pending_solve & keyframe_added. The round-4 runtime schedules the
+    # bucketed graph solve from host-side dispatch knowledge instead of
+    # fetching this (a device-value fetch fences the whole dispatch queue
+    # on a tunneled device); kept for tests and non-async drivers.
     solve_due: jnp.ndarray  # [] bool
 
 
@@ -212,12 +212,12 @@ def backend_step(
         lambda a, b: jnp.where(add, b, a), state.scdb, sc.add_descriptor(state.scdb, desc)
     )
 
-    # Pose-graph solve moved OUT of the jitted step: the runtime calls
-    # solve_graph_host (bucketed dense GN) when pending_solve & keyframe
-    # added — the reference's isam->update + correctPoses sequence
-    # (:1115-1137, :1287) also runs on the keyframe path. Keeping the solve
-    # out of the step lets the solve compile at the smallest capacity
-    # bucket covering the live pose count instead of the full 2048.
+    # Pose-graph solve moved OUT of the jitted step: the runtime dispatches
+    # solve_graph_host (bucketed dense GN) at its own cadence whenever
+    # loop/prior programs have run — the reference's isam->update +
+    # correctPoses sequence (:1115-1137, :1287) runs on the keyframe path.
+    # Keeping the solve out of the step lets it compile at the smallest
+    # capacity bucket covering the live pose count instead of the full 2048.
     pending = state.pending_solve
     out_rot = pose.rot
     out_trans = pose.trans
@@ -256,20 +256,35 @@ _SOLVE_BUCKETS = (64, 128, 256, 512, 1024, 2048)
 @partial(jax.jit, static_argnames=())
 def _apply_solution(state: BackendState, sol_rot, sol_trans) -> BackendState:
     """Write a bucket's solved poses back into the full-capacity DB and
-    refresh transformTobeMapped from the latest estimate (correctPoses +
-    backMapping.cpp:1165-1171)."""
+    apply the latest keyframe's CORRECTION to transformTobeMapped
+    (correctPoses + backMapping.cpp:1165-1171).
+
+    The reference solves on the keyframe path, where "latest estimate" and
+    "current scan pose" coincide; this build's solve is deferred up to
+    graph_solve_check_interval behind the scan stream, so overwriting
+    transformTobeMapped with the latest KEYFRAME pose would roll back the
+    mapping steps since (measured: a no-op odom-only solve at 1 Hz
+    inflated keyframe count 304 -> 450 on a 900-scan run by repeatedly
+    resetting the pose ~1 s backwards). Applying the left delta
+    `solved ∘ oldᵀ` keeps no-op solves exactly no-ops and moves the
+    current pose by the same world correction the keyframe received."""
     b = sol_rot.shape[0]
     db = state.db
+    latest = jnp.maximum(db.count - 1, 0)
+    old_latest = SE3(db.rot[latest], db.trans[latest])
     valid = (jnp.arange(b) < db.count)
     rot = db.rot.at[:b].set(jnp.where(valid[:, None, None], sol_rot, db.rot[:b]))
     trans = db.trans.at[:b].set(jnp.where(valid[:, None], sol_trans, db.trans[:b]))
     db = db._replace(rot=rot, trans=trans)
-    latest = jnp.maximum(db.count - 1, 0)
-    roll, pitch, yaw = so3.matrix_to_rpy(db.rot[latest])
+    new_latest = SE3(db.rot[latest], db.trans[latest])
+    delta = new_latest.compose(old_latest.inverse())
+    cur = SE3(so3.rpy_to_matrix(state.rpy[0], state.rpy[1], state.rpy[2]), state.xyz)
+    cur = delta.compose(cur)
+    roll, pitch, yaw = so3.matrix_to_rpy(cur.rot)
     return state._replace(
         db=db,
         rpy=jnp.stack([roll, pitch, yaw]),
-        xyz=db.trans[latest],
+        xyz=cur.trans,
         pending_solve=jnp.asarray(False),
     )
 

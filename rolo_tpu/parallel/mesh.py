@@ -54,9 +54,14 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(pytree, mesh: Mesh, axis_name: str = "batch"):
-    """Place every leaf with axis 0 sharded over `axis_name` (leaves whose
-    leading dimension is not divisible by the axis size are replicated)."""
-    axis_size = mesh.shape[axis_name]
+    """Place every leaf with axis 0 sharded over `axis_name` — a single
+    mesh axis or a tuple of axes, e.g. ("host", "batch") to split over the
+    whole pod (leaves whose leading dimension is not divisible by the
+    axis size are replicated)."""
+    names = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name)
+    axis_size = 1
+    for nm in names:
+        axis_size *= mesh.shape[nm]
     sharded = batch_sharding(mesh, axis_name)
     repl = replicated(mesh)
 

@@ -139,3 +139,58 @@ def extract_patch(gm: GroundMap, xy: jnp.ndarray, patch_size: float, capacity: i
     )
     order = jnp.argsort(~inside, stable=True)[:capacity]
     return PaddedCloud(gm.xyz[order], inside[order])
+
+
+class LiveGroundMap(NamedTuple):
+    """Rolling self-built ground map in the ESTIMATE's world frame — the
+    in-repo analog of the external `point_seg ground_mapping` node's
+    /voxel_map (launch/module_prior.launch:9; consumed by
+    backMapping::groundMapHandler, backMapping.cpp:403-417, and
+    prior_pose_node). Ground points segmented from each scan
+    (pointcloud/ground_seg.py) are transformed by the current mapped pose
+    and written slot-wise into a fixed ring buffer: every frame stays
+    consistent with the drifting estimate, which is what lets the prior
+    patch ICP measure drift instead of GT-vs-estimate mismatch."""
+
+    xyz: jnp.ndarray  # [S * C, 3] world frame
+    mask: jnp.ndarray  # [S * C]
+    cursor: jnp.ndarray  # [] int32 next slot
+
+    @property
+    def ready(self) -> jnp.ndarray:
+        return jnp.any(self.mask)
+
+    def as_ground_map(self) -> GroundMap:
+        return GroundMap(self.xyz, self.mask)
+
+
+def init_live_ground(n_slots: int, slot_capacity: int, dtype=jnp.float32) -> LiveGroundMap:
+    return LiveGroundMap(
+        xyz=jnp.zeros((n_slots * slot_capacity, 3), dtype),
+        mask=jnp.zeros((n_slots * slot_capacity,), bool),
+        cursor=jnp.asarray(0, jnp.int32),
+    )
+
+
+def update_live_ground(
+    gm: LiveGroundMap,
+    ground_sensor: PaddedCloud,
+    rot: jnp.ndarray,
+    trans: jnp.ndarray,
+    slot_capacity: int,
+    leaf: float = 0.4,
+) -> LiveGroundMap:
+    """Insert one scan's segmented ground (sensor frame) at pose (rot,
+    trans): voxel-downsample to the slot capacity, transform to world,
+    overwrite the oldest slot (ring buffer)."""
+    from ..pointcloud.features import voxel_downsample
+
+    ds = voxel_downsample(ground_sensor, leaf, slot_capacity)
+    world = ds.xyz @ rot.T + trans
+    world = jnp.where(ds.mask[:, None], world, 0.0)
+    n_slots = gm.xyz.shape[0] // slot_capacity
+    slot = gm.cursor % n_slots
+    start = slot * slot_capacity
+    xyz = jax.lax.dynamic_update_slice(gm.xyz, world, (start, jnp.asarray(0, start.dtype)))
+    mask = jax.lax.dynamic_update_slice(gm.mask, ds.mask, (start,))
+    return LiveGroundMap(xyz=xyz, mask=mask, cursor=gm.cursor + 1)

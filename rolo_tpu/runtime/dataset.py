@@ -47,6 +47,10 @@ class SequenceResult:
     n_loop_factors: int = 0
     n_prior_factors: int = 0
     ate_keyframes_z_rmse: Optional[float] = None
+    # roll/pitch RMSE (rad) of the optimized keyframe attitudes vs GT —
+    # with z_rmse, the metric the ground-prior subsystem exists to improve
+    # (the ROLO paper's uneven-terrain claim)
+    ate_keyframes_rp_rmse: Optional[float] = None
 
     def to_json(self) -> dict:
         out = {
@@ -65,6 +69,8 @@ class SequenceResult:
             out["ate_keyframes_rmse_m"] = round(self.ate_keyframes.rmse, 4)
         if self.ate_keyframes_z_rmse is not None:
             out["ate_keyframes_z_rmse_m"] = round(self.ate_keyframes_z_rmse, 4)
+        if self.ate_keyframes_rp_rmse is not None:
+            out["ate_keyframes_rp_rmse_rad"] = round(self.ate_keyframes_rp_rmse, 5)
         if self.rpe_frontend is not None:
             out["rpe_frontend_rmse_m"] = round(self.rpe_frontend, 4)
         return out
@@ -88,6 +94,7 @@ def run_frames(
 
     n = 0
     t_start = time.perf_counter()
+    gt_rots: List[np.ndarray] = []
     for frame in frames:
         ring = getattr(frame, "ring", None)
         rel_time = getattr(frame, "rel_time", None)
@@ -95,6 +102,8 @@ def run_frames(
         if getattr(frame, "gt_trans", None) is not None and not gt:
             gt_times.append(frame.stamp)
             gt_pos.append(np.asarray(frame.gt_trans))
+            if getattr(frame, "gt_rot", None) is not None:
+                gt_rots.append(np.asarray(frame.gt_rot))
         n += 1
         if progress_every and n % progress_every == 0:
             print(f"  scan {n} ({time.perf_counter() - t_start:.1f}s)", flush=True)
@@ -123,7 +132,7 @@ def run_frames(
         if len(ia) >= 3:
             res.ate_frontend = metrics.ate(est_p[ia], gt_p[ib])
             res.rpe_frontend = metrics.rpe(est_p[ia], gt_p[ib])
-        kt, kp, _ = slam.keyframe_trajectory()
+        kt, kp, kq = slam.keyframe_trajectory()
         ia, ib = metrics.associate_by_time(np.asarray(kt) + (slam._epoch or 0.0), gt_t, max_diff=0.05)
         if len(ia) >= 3:
             res.ate_keyframes = metrics.ate(kp[ia], gt_p[ib])
@@ -137,6 +146,24 @@ def run_frames(
                 res.ate_keyframes_z_rmse = float(
                     np.sqrt(np.mean((est_aligned[:, 2] - gt_p[ib][:, 2]) ** 2))
                 )
+                if gt_rots and kq.shape[0] == kp.shape[0]:
+                    # attitude residual after the SAME alignment: roll/pitch
+                    # of R_gt^T (R_align R_est) per keyframe
+                    import jax
+                    import jax.numpy as _jnp
+
+                    from ..geometry import so3 as _so3
+
+                    r_est = np.asarray(
+                        jax.vmap(_so3.quat_to_matrix)(_jnp.asarray(kq[ia]))
+                    )
+                    r_gt = np.stack([gt_rots[j] for j in ib])
+                    rel = np.einsum("nji,njk->nik", r_gt, rot_a[None] @ r_est)
+                    roll = np.arctan2(rel[:, 2, 1], rel[:, 2, 2])
+                    pitch = np.arcsin(np.clip(-rel[:, 2, 0], -1.0, 1.0))
+                    res.ate_keyframes_rp_rmse = float(
+                        np.sqrt(np.mean(roll**2 + pitch**2))
+                    )
 
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
@@ -233,16 +260,33 @@ def run_simulated(
     out_dir: Optional[str] = None,
     with_priors: bool = True,
     progress_every: int = 0,
+    ground_source: str = "live",
 ) -> SequenceResult:
     """Full pipeline over a simulated sequence (rolo_tpu.sim): scans,
-    ground map for the prior stack, ATE vs exact GT."""
+    ground input for the prior stack, ATE vs exact GT.
+
+    ground_source: "live" (default) lets the system build its own ground
+    map from segmented scans — the reference-faithful architecture, where
+    the /voxel_map producer runs in the SAME drifting odom frame as the
+    estimate; "external" injects the simulator's exact GT ground map, which
+    is frame-INCONSISTENT with a drifting estimate (the prior patch ICP
+    then measures GT-vs-estimate offset instead of drift) — useful only
+    for gate/solver plumbing tests."""
     from ..sim import SimConfig, generate_sequence, ground_map_points
     from ..sim.dataset import make_scene
 
+    import dataclasses
+
+    from ..sim import SimConfig as _SimConfig  # noqa: F401
+
     sim_cfg = sim_cfg or SimConfig()
     scene = make_scene(sim_cfg)
+    if not with_priors and cfg.prior.enable:
+        # the live ground path makes priors self-sufficient, so "no priors"
+        # must disable the subsystem, not merely withhold the external map
+        cfg = cfg.replace(prior=dataclasses.replace(cfg.prior, enable=False))
     slam = SlamSystem(cfg)
-    if with_priors and cfg.prior.enable:
+    if with_priors and cfg.prior.enable and ground_source == "external":
         slam.set_ground_map(ground_map_points(sim_cfg, scene))
     return run_frames(
         slam, generate_sequence(sim_cfg, scene), out_dir=out_dir,

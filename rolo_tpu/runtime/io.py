@@ -165,22 +165,32 @@ def write_g2o(
 # SURVEY.md section 5 "checkpoint/resume")
 # ---------------------------------------------------------------------------
 
-def save_checkpoint(path: str, pytree) -> None:
-    """Serialize any NamedTuple/array pytree to one .npz file."""
+def save_checkpoint(path: str, pytree, host_meta: np.ndarray = None) -> None:
+    """Serialize any NamedTuple/array pytree to one .npz file. `host_meta`
+    (optional f64 array) rides alongside WITHOUT passing through device
+    dtypes — UNIX-epoch stamps need f64, which jax_enable_x64=0 would
+    silently truncate to ~128 s resolution."""
     import jax
 
     leaves, treedef = jax.tree_util.tree_flatten(pytree)
     arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
+    if host_meta is not None:
+        arrays["host_meta"] = np.asarray(host_meta, np.float64)
     np.savez_compressed(path, treedef=repr(treedef), **arrays)
 
 
-def load_checkpoint(path: str, example_pytree):
+def load_checkpoint(path: str, example_pytree, with_host_meta: bool = False):
     """Restore a pytree saved by save_checkpoint into the structure of
-    `example_pytree` (shapes/dtypes must match)."""
+    `example_pytree` (shapes/dtypes must match). With `with_host_meta`,
+    returns (pytree, host_meta_f64_or_None)."""
     import jax
     import jax.numpy as jnp
 
     data = np.load(path, allow_pickle=False)
     leaves, treedef = jax.tree_util.tree_flatten(example_pytree)
     restored = [jnp.asarray(data[f"leaf_{i}"]) for i in range(len(leaves))]
-    return jax.tree_util.tree_unflatten(treedef, restored)
+    tree = jax.tree_util.tree_unflatten(treedef, restored)
+    if with_host_meta:
+        meta = data["host_meta"] if "host_meta" in data.files else None
+        return tree, meta
+    return tree

@@ -81,7 +81,29 @@ class SlamSystem:
         self.fusion_state = fusion.init_fusion(cfg.filter, dtype)
         self.backend_state = backend.init_backend(cfg, dtype)
         self.vehicle = prior_vehicle.from_config(cfg.prior, dtype)
+        # external /voxel_map input (set_ground_map); when absent the
+        # self-built live ground map below feeds the prior stack
         self.ground_map: Optional[prior_ground.GroundMap] = None
+        self.live_ground = prior_ground.init_live_ground(
+            st.live_ground_slots, st.live_ground_slot_points, dtype
+        )
+
+        ground_rings = cfg.prior.ground_seg_rings or cfg.sensor.n_scan // 2
+
+        @jax.jit
+        def _ground_update_jit(live, ring_img, rot, trans):
+            from ..pointcloud.ground_seg import segment_ground
+
+            g = segment_ground(
+                ring_img, cfg.sensor.horizon_scan, ground_rings,
+                cfg.prior.ground_seg_slope_deg,
+                out_capacity=st.live_ground_slot_points * 4,
+            )
+            return prior_ground.update_live_ground(
+                live, g, rot, trans, st.live_ground_slot_points
+            )
+
+        self._ground_update_jit = _ground_update_jit
 
         self._last_mapping_time = -np.inf
         self._last_loop_time = -np.inf
@@ -120,6 +142,12 @@ class SlamSystem:
         self.front_quats: List[jnp.ndarray] = []
         self.mapped_positions: List[jnp.ndarray] = []
         self.mapped_quats: List[jnp.ndarray] = []
+        # fused high-rate pose stream (TransformFusion fusionTimerHandler,
+        # lidarOdometry.cpp:137-250): mapping ∘ (front_anchor⁻¹ ∘ ESKF-now)
+        # — the pose a robot consumer would actually subscribe to
+        self.fused_positions: List[jnp.ndarray] = []
+        self.fused_quats: List[jnp.ndarray] = []
+        self.fused_valid: List[jnp.ndarray] = []
         self._mapping_steps = 0
         self._last_capacity_check = 0
         # host-side solve scheduling: True when a loop/prior/external
@@ -324,6 +352,7 @@ class SlamSystem:
             self.odom_state, odom_out = odometry.scan_step(
                 self.odom_state, feat.xyz, feat.mask, jnp.asarray(interval, feat.xyz.dtype),
                 cfg.registration, cfg.static.max_voxels, cfg.registration.k_correspondences,
+                enable_failure_gate=cfg.registration.enable_failure_gate,
             )
         front_rot = odom_out.pose_rot
         front_trans = odom_out.pose_trans
@@ -362,6 +391,12 @@ class SlamSystem:
             out["mapped_rot"] = mapped_rot
             out["mapped_trans"] = mapped_trans
             out["keyframe_added"] = map_out.keyframe_added
+            # live ground mapping at the mapping cadence (groundMapHandler
+            # analog): segmented ground at the freshly mapped pose
+            if cfg.prior.enable and self.ground_map is None:
+                self.live_ground = self._ground_update_jit(
+                    self.live_ground, ring_img, mapped_rot, mapped_trans
+                )
             self.mapped_positions.append(mapped_trans)
             self.mapped_quats.append(self._quat(mapped_rot))
             self._mapping_steps += 1
@@ -385,19 +420,39 @@ class SlamSystem:
                 out["loop_closed"] = closed
             self._graph_dirty = True
 
-        # prior pipeline at priorFactorFrequency
+        # prior pipeline at priorFactorFrequency; ground source is the
+        # external /voxel_map when provided, else the self-built live map
+        # (only once it has content — first mapping step fills slot 0)
         if (
             cfg.prior.enable
-            and self.ground_map is not None
+            and (self.ground_map is not None or self._mapping_steps >= 1)
             and stamp - self._last_prior_time >= 1.0 / cfg.prior.frequency_hz
         ):
             self._last_prior_time = stamp
+            gm = (
+                self.ground_map
+                if self.ground_map is not None
+                else prior_ground.GroundMap(self.live_ground.xyz, self.live_ground.mask)
+            )
             with self.timers.stage("prior", sync=(lambda: _matched) if prof else None):
                 self.backend_state, _matched = self._prior_cycle_jit(
                     self.fusion_state, jnp.asarray(stamp, jnp.float32),
-                    self.backend_state, self.ground_map, self.vehicle,
+                    self.backend_state, gm, self.vehicle,
                 )
             self._graph_dirty = True
+
+        # fused pose publication (fusionTimerHandler, lidarOdometry.cpp:
+        # 137-250): one fused sample per scan, async like everything else.
+        # The reference publishes at 20 Hz wall-clock; per-scan sampling is
+        # the same rate at the 10 Hz design point scan stream given that
+        # the filter state only changes on scan arrival here.
+        fp = fusion.fused_pose(self.fusion_state, jnp.asarray(stamp), cfg.filter)
+        out["fused_rot"] = fp.rot
+        out["fused_trans"] = fp.trans
+        out["fused_valid"] = fp.valid
+        self.fused_positions.append(fp.trans)
+        self.fused_quats.append(self._quat(fp.rot))
+        self.fused_valid.append(fp.valid)
 
         # capacity accounting at a low cadence (each check is one sync)
         if self._mapping_steps >= self._last_capacity_check + 10:
@@ -467,6 +522,17 @@ class SlamSystem:
     def mapped_quats_np(self) -> np.ndarray:
         return self._np_stack(self.mapped_quats, 4)
 
+    def fused_trajectory_np(self):
+        """(times, positions, quats) of the VALID fused pose samples (the
+        20 Hz fused odometry stream, lidarOdometry.cpp:193-249)."""
+        if not self.fused_positions:
+            return np.zeros((0,)), np.zeros((0, 3), np.float32), np.zeros((0, 4), np.float32)
+        valid = np.asarray(jnp.stack(self.fused_valid))
+        pos = self._np_stack(self.fused_positions, 3)
+        quat = self._np_stack(self.fused_quats, 4)
+        times = np.asarray(self.times)
+        return times[valid], pos[valid], quat[valid]
+
     def keyframe_trajectory(self):
         """(times, positions, quats_wxyz) of the optimized keyframe poses.
         Applies any pending loop/prior graph correction first (finalize)."""
@@ -492,6 +558,9 @@ class SlamSystem:
         )
         kt, kp, kq = self.keyframe_trajectory()
         rio.write_tum(os.path.join(out_dir, "optimized_tum.txt"), kt, kp, kq)
+        ft, fpos, fq = self.fused_trajectory_np()
+        if len(ft):
+            rio.write_tum(os.path.join(out_dir, "fused_tum.txt"), ft, fpos, fq)
 
         # g2o: odometry chain + loop + prior edges
         st = self.backend_state
@@ -529,10 +598,39 @@ class SlamSystem:
             rio.write_pcd(os.path.join(out_dir, "global_map.pcd"), np.concatenate(clouds))
 
     def checkpoint(self, path: str) -> None:
-        """Serialize the full SLAM state (backend + frontend + fusion)."""
-        rio.save_checkpoint(path, (self.odom_state, self.fusion_state, self.backend_state))
+        """Serialize the full SLAM state (backend + frontend + fusion) plus
+        the host-side driver clocks. Without the clocks a restore would
+        re-rebase stamps to a fresh epoch while the device-side keyframe
+        times keep the old one — breaking the recency window and the prior
+        10 ms keyframe-sync gate (the crash/recovery analog of the
+        reference's respawn="true", launch/module_loam.launch:6-9)."""
+        self.finalize()  # pending corrections must survive the crash
+        host = np.asarray([
+            self._epoch if self._epoch is not None else np.nan,
+            self._last_stamp if self._last_stamp is not None else np.nan,
+            self._last_mapping_time, self._last_loop_time, self._last_prior_time,
+            float(self._mapping_steps), self._next_solve_check,
+        ], np.float64)
+        rio.save_checkpoint(
+            path,
+            (self.odom_state, self.fusion_state, self.backend_state, self.live_ground),
+            host_meta=host,
+        )
 
     def restore(self, path: str) -> None:
-        self.odom_state, self.fusion_state, self.backend_state = rio.load_checkpoint(
-            path, (self.odom_state, self.fusion_state, self.backend_state)
+        (
+            (self.odom_state, self.fusion_state, self.backend_state, self.live_ground),
+            host,
+        ) = rio.load_checkpoint(
+            path,
+            (self.odom_state, self.fusion_state, self.backend_state, self.live_ground),
+            with_host_meta=True,
         )
+        if host is not None:
+            self._epoch = None if np.isnan(host[0]) else float(host[0])
+            self._last_stamp = None if np.isnan(host[1]) else float(host[1])
+            self._last_mapping_time = float(host[2])
+            self._last_loop_time = float(host[3])
+            self._last_prior_time = float(host[4])
+            self._mapping_steps = int(host[5])
+            self._next_solve_check = float(host[6])

@@ -36,6 +36,95 @@ def write_ply(path: str, xyz: np.ndarray, color: Optional[np.ndarray] = None) ->
                 f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f}\n")
 
 
+def write_ply_graph(
+    path: str,
+    nodes: np.ndarray,
+    edges: Sequence[Tuple[int, int]],
+    edge_colors: Optional[Sequence[Tuple[int, int, int]]] = None,
+) -> None:
+    """ASCII PLY with vertex + edge elements — the pose graph as viewable
+    wireframe (MeshLab/CloudCompare render `element edge` as segments).
+    The PLY counterpart of publishGlobalGraph's edge MarkerArray
+    (backMapping.cpp:1667-1900)."""
+    nodes = np.asarray(nodes, np.float32).reshape(-1, 3)
+    edges = [(int(i), int(j)) for i, j in edges]
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {nodes.shape[0]}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        f.write(f"element edge {len(edges)}\n")
+        f.write("property int vertex1\nproperty int vertex2\n")
+        if edge_colors is not None:
+            f.write("property uchar red\nproperty uchar green\nproperty uchar blue\n")
+        f.write("end_header\n")
+        for p in nodes:
+            f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f}\n")
+        for k, (i, j) in enumerate(edges):
+            if edge_colors is not None:
+                r, g, b = edge_colors[k]
+                f.write(f"{i} {j} {r} {g} {b}\n")
+            else:
+                f.write(f"{i} {j}\n")
+
+
+def render_factor_graph(slam, path: str) -> bool:
+    """Graph RENDERING (publishGlobalGraph, backMapping.cpp:1667-1900):
+    keyframe nodes with heading axes, the odometry chain, loop edges (red)
+    and prior factors (green) as a top-down PNG. Returns False when
+    matplotlib is absent or the graph is empty."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return False
+
+    st = slam.backend_state
+    k = int(st.db.count)
+    if k == 0:
+        return False
+    pos = np.asarray(st.db.trans[:k])
+    rot = np.asarray(st.db.rot[:k])
+
+    fig, ax = plt.subplots(figsize=(9, 9))
+    # odometry chain
+    ax.plot(pos[:, 0], pos[:, 1], "-", color="0.6", linewidth=0.8, zorder=1,
+            label="odometry chain")
+    # nodes + heading axes (the per-node axis markers)
+    ax.scatter(pos[:, 0], pos[:, 1], s=8, c="tab:blue", zorder=3, label="keyframes")
+    step = max(1, k // 60)  # at most ~60 axis glyphs
+    hx = rot[::step, :, 0]
+    ax.quiver(pos[::step, 0], pos[::step, 1], hx[:, 0], hx[:, 1],
+              angles="xy", scale_units="xy", scale=0.8, width=0.003,
+              color="tab:blue", alpha=0.6, zorder=2)
+
+    def draw_edges(f, color, label):
+        n = int(f.count)
+        first = True
+        for e in range(n):
+            i, j = int(f.i[e]), int(f.j[e])
+            if i >= k or j >= k:
+                continue
+            ax.plot([pos[i, 0], pos[j, 0]], [pos[i, 1], pos[j, 1]], "--",
+                    color=color, linewidth=1.2, alpha=0.85, zorder=4,
+                    label=label if first else None)
+            first = False
+
+    draw_edges(st.graph.loops, "tab:red", "loop edges")
+    draw_edges(st.graph.priors, "tab:green", "prior factors")
+    ax.set_aspect("equal")
+    ax.grid(True, alpha=0.3)
+    ax.legend(loc="best")
+    ax.set_title(f"pose graph: {k} nodes, {int(st.graph.loops.count)} loops, "
+                 f"{int(st.graph.priors.count)} priors")
+    ax.set_xlabel("x [m]")
+    ax.set_ylabel("y [m]")
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return True
+
+
 def plot_trajectory(
     path: str,
     trajectories: Sequence[Tuple[str, np.ndarray]],
@@ -205,6 +294,20 @@ def export_run(slam, out_dir: str) -> None:
         write_ply(os.path.join(out_dir, "global_map.ply"), pts, color)
 
     export_factor_graph(slam, os.path.join(out_dir, "factor_graph.json"))
+    render_factor_graph(slam, os.path.join(out_dir, "factor_graph.png"))
+    if k:
+        edges = [(i - 1, i) for i in range(1, k)]
+        colors = [(150, 150, 150)] * len(edges)
+        for f, col in ((st.graph.loops, (220, 40, 40)), (st.graph.priors, (40, 180, 60))):
+            for e in range(int(f.count)):
+                i, j = int(f.i[e]), int(f.j[e])
+                if i < k and j < k:
+                    edges.append((i, j))
+                    colors.append(col)
+        write_ply_graph(
+            os.path.join(out_dir, "factor_graph.ply"),
+            np.asarray(st.db.trans[:k]), edges, colors,
+        )
     export_prior_observability(slam, out_dir)
     if k:
         outline = vehicle_outline(

@@ -18,3 +18,10 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite is compile-dominated (XLA:CPU
+# builds of the backend/registration programs take minutes); warm-cache
+# reruns skip all of it. Keyed by HLO hash, so stale entries are inert.
+from rolo_tpu.runtime.platform import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()

@@ -106,6 +106,7 @@ class TestBackendStep:
         assert int(st.db.count) == 1
         assert int(st.scdb.count) == 1
 
+    @pytest.mark.slow
     def test_tracks_straight_trajectory(self):
         """Backend pose should follow ground truth when the front end is
         exact (scan2map refines an already-correct guess)."""
@@ -115,6 +116,7 @@ class TestBackendStep:
         final = np.asarray(outs[-1].trans)
         np.testing.assert_allclose(final, [7.0, 0.0, 0.0], atol=0.3)
 
+    @pytest.mark.slow
     def test_corrects_drifting_frontend(self):
         """Front end drifts +2 cm/scan in y; scan2map against the submap
         should keep the mapped pose near truth."""
@@ -126,6 +128,7 @@ class TestBackendStep:
         assert abs(final[1]) < 0.08, final
         np.testing.assert_allclose(final[0], 7.0, atol=0.4)
 
+    @pytest.mark.slow
     def test_keyframe_gating(self):
         """Scans that barely move should not all become keyframes."""
         poses = [(0.0, np.array([0.05 * i, 0.0, 0.0], np.float32)) for i in range(6)]
@@ -134,6 +137,7 @@ class TestBackendStep:
 
 
 class TestCapacityExhaustion:
+    @pytest.mark.slow
     def test_keyframe_capacity_is_loud_and_survivable(self):
         """>3x max_keyframes keyframe events: the DB saturates, the drop is
         host-visible (dropped_counts + keyframe_dropped), and mapping keeps
@@ -287,6 +291,7 @@ def _se3(rot, trans):
 
 
 class TestLoopClosure:
+    @pytest.mark.slow
     def test_rs_loop_detected_and_solved(self):
         """An out-and-back trajectory: the return to the start triggers a
         radius-search loop, the factor lands in the graph, and the next
@@ -331,6 +336,7 @@ class TestExternalLoop:
         st, _ = _run_sequence(poses, cfg=cfg)
         return st, cfg
 
+    @pytest.mark.slow
     def test_injected_pair_closes(self):
         st, cfg = self._out_and_back()
         n_before = int(st.graph.loops.count)
@@ -347,6 +353,7 @@ class TestExternalLoop:
         assert float(st.db.time[j]) <= 1.0
         assert bool(st.pending_solve)
 
+    @pytest.mark.slow
     def test_too_close_in_time_rejected(self):
         st, cfg = self._out_and_back()
         st, closed = backend.external_loop_step(
@@ -355,6 +362,7 @@ class TestExternalLoop:
         assert not bool(closed)
         assert int(st.graph.loops.count) == 0
 
+    @pytest.mark.slow
     def test_already_matched_rejected(self):
         st, cfg = self._out_and_back()
         st, closed = backend.external_loop_step(

@@ -83,6 +83,7 @@ class TestConfigTpuNamespace:
 
 
 class TestCli:
+    @pytest.mark.slow
     def test_sim_then_run_dir(self, tmp_path, capsys):
         seq_dir = str(tmp_path / "seq")
         rc = cli_main([

@@ -101,7 +101,7 @@ class TestEskfOdomRegression:
     vs filtered paths visually. Here the same replay asserts numerically:
     the filter tracks the raw trajectory closely while staying smooth."""
 
-    def test_filter_tracks_bag_odometry(self):
+    def test_filter_tracks_bag_odometry(self, tmp_path):
         import jax.numpy as jnp
 
         from rolo_tpu.config import FilterConfig
@@ -111,7 +111,7 @@ class TestEskfOdomRegression:
         cfg = FilterConfig()
         bag = BagReader(REF_BAG)
         st = eskf.init_filter(cfg)
-        raw, filt = [], []
+        raw, filt, stamps, quats_raw, quats_filt = [], [], [], [], []
         # f32 device time cannot carry UNIX-epoch stamps (resolution ~128 s
         # at 1.7e9); rebase to the session start like SlamSystem does
         epoch = bag.read_odometry(0)["stamp"]
@@ -126,6 +126,9 @@ class TestEskfOdomRegression:
             if bool(ok):
                 raw.append(np.asarray(pos))
                 filt.append(np.asarray(st.pos))
+                stamps.append(odo["stamp"] - epoch)
+                quats_raw.append(np.asarray(quat_wxyz))
+                quats_filt.append(np.asarray(so3.matrix_to_quat(st.rot)))
         raw = np.asarray(raw)
         filt = np.asarray(filt)
         assert len(raw) > 300
@@ -133,3 +136,19 @@ class TestEskfOdomRegression:
         # converged tracking within the measurement noise scale
         assert np.median(err[50:]) < 0.5, np.median(err[50:])
         assert np.all(np.isfinite(filt))
+
+        # smoothness: the constant-jerk prior must damp the raw stream's
+        # scan-to-scan jitter (the visual raw-vs-filtered comparison of
+        # eskf_odom_test.launch made numeric). Roughness = mean second
+        # difference norm, converged segment only.
+        rough_raw = float(np.mean(np.linalg.norm(np.diff(raw[50:], 2, axis=0), axis=1)))
+        rough_filt = float(np.mean(np.linalg.norm(np.diff(filt[50:], 2, axis=0), axis=1)))
+        assert rough_filt < rough_raw, (rough_filt, rough_raw)
+
+        # both paths as TUM artifacts (the reference publishes raw vs
+        # filtered paths for external comparison)
+        rio.write_tum(str(tmp_path / "bag_raw_tum.txt"), stamps, raw, np.asarray(quats_raw))
+        rio.write_tum(str(tmp_path / "bag_filtered_tum.txt"), stamps, filt, np.asarray(quats_filt))
+        t, p, _ = rio.read_tum(str(tmp_path / "bag_filtered_tum.txt"))
+        assert len(t) == len(stamps)
+        np.testing.assert_allclose(p, filt, atol=1e-4)

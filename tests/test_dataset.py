@@ -3,9 +3,11 @@ dirs with Velodyne `time` and Ouster `t` (nanosecond) per-point fields
 (the per-sensor normalization of cachePointCloud,
 /root/reference/src/imageProjection.cpp:179-263)."""
 
+import os
 import struct
 
 import numpy as np
+import pytest
 
 from rolo_tpu.runtime import dataset as ds
 from rolo_tpu.runtime import io as rio
@@ -184,3 +186,46 @@ class TestOusterIngest:
         # fixture has one point per (ring, column) at 2048-col geometry)
         assert occ > 0.95, occ
         assert int(jnp.sum(img.mask)) > 0
+
+
+@pytest.mark.slow
+def test_kitti_dir_dry_run(tmp_path, capsys):
+    """The README's real-data recipe (M2UD/RELLIS via a KITTI-format
+    directory + TUM GT) exercised end-to-end on 5 synthetic frames: the
+    exact `python -m rolo_tpu run --input <dir> --gt <tum>` invocation a
+    user would issue the moment a real dataset is downloaded."""
+    import json
+
+    from rolo_tpu.__main__ import main as cli_main
+    from rolo_tpu.sim import SimConfig, generate_sequence
+    from rolo_tpu.sim.dataset import make_scene
+    from test_cli import TINY_YAML
+
+    sim = SimConfig(n_scans=5, n_cols=512, sensor="velodyne16", period=60.0, seed=0)
+    frames = list(generate_sequence(sim, make_scene(sim)))
+    seq = tmp_path / "velodyne"
+    seq.mkdir()
+    gt_rows = []
+    for i, f in enumerate(frames):
+        pts = np.column_stack([f.points, np.zeros((len(f.points), 1), np.float32)])
+        pts.astype(np.float32).tofile(str(seq / f"{i:06d}.bin"))
+        gt_rows.append((f.stamp, f.gt_trans))
+    quats = np.tile(np.array([1.0, 0, 0, 0]), (len(gt_rows), 1))
+    rio.write_tum(str(tmp_path / "gt_tum.txt"), [t for t, _ in gt_rows],
+                  np.stack([p for _, p in gt_rows]), quats)
+
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(TINY_YAML)
+    out_dir = str(tmp_path / "out")
+    rc = cli_main([
+        "run", "--input", str(seq), "--config", str(cfg_path),
+        "--gt", str(tmp_path / "gt_tum.txt"),
+        "--output", out_dir, "--progress", "0",
+    ])
+    assert rc == 0
+    captured = capsys.readouterr().out
+    res = json.loads(captured[captured.index("{"):])
+    assert res["n_scans"] == 5
+    assert "ate_frontend_rmse_m" in res
+    for name in ("front_end_tum.txt", "optimized_tum.txt", "result.json"):
+        assert os.path.exists(os.path.join(out_dir, name)), name

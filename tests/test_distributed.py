@@ -67,6 +67,57 @@ def host_psum(x):
 
 total2 = float(host_psum(arr)[0])
 assert abs(total2 - expected) < 1e-3, (total2, expected)
+
+# --- REAL registration workload across the process boundary -------------
+# (VERDICT round-3 item 5: no registration had ever crossed DCN)
+from rolo_tpu.config import RegistrationConfig
+from rolo_tpu.parallel.batch import registration_batch, shard_registration_inputs
+from rolo_tpu.parallel.spmd import register_scan_pair_spmd
+
+cfg = RegistrationConfig(max_outer_iterations=8, alt_rounds=1, ct_fine_resolution=0.0)
+rng = np.random.default_rng(0)
+n, b = 512, 4
+base = rng.uniform(-15, 15, (b, n, 3)).astype(np.float32)
+ang = 0.03
+c, s = np.cos(ang), np.sin(ang)
+R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+t_gt = np.array([0.25, -0.1, 0.05], np.float32)
+tgt = base @ R.T + t_gt
+mask = np.ones((b, n), bool)
+
+# (a) batch sharded over the 2x2 (host, batch) pod mesh
+inputs = shard_registration_inputs(
+    mesh, jnp.asarray(base), jnp.asarray(mask), jnp.asarray(tgt), jnp.asarray(mask),
+    axis_name=("host", "batch"),
+)
+res = registration_batch(*inputs, cfg=cfg, voxel_capacity=2048, k=10)
+# the result spans both processes; check the locally addressable shards
+# (every batch item has the same GT transform, so no index bookkeeping)
+rot_shards = [np.asarray(s.data).reshape(-1, 3, 3) for s in res.rot.addressable_shards]
+trans_shards = [np.asarray(s.data).reshape(-1, 3) for s in res.trans.addressable_shards]
+rots = np.concatenate(rot_shards)
+trans = np.concatenate(trans_shards)
+assert rots.shape[0] >= b // nproc if (nproc := jax.process_count()) else True
+for i in range(rots.shape[0]):
+    rot_err = np.degrees(np.arccos(np.clip((np.trace(rots[i] @ R.T) - 1) / 2, -1, 1)))
+    assert rot_err < 0.5, (i, rot_err)
+    assert np.linalg.norm(trans[i] - t_gt) < 0.08, (i, trans[i], t_gt)
+
+# (b) ONE registration with the point axis sharded across all 4 devices
+# (2 per process): the psum Hessian reduction rides the DCN boundary
+from jax.sharding import Mesh as _Mesh
+pt_mesh = _Mesh(np.asarray(jax.devices()).reshape(4), ("point",))
+res1 = register_scan_pair_spmd(
+    pt_mesh, jnp.asarray(base[0]), jnp.asarray(mask[0]),
+    jnp.asarray(tgt[0]), jnp.asarray(mask[0]),
+    jnp.zeros(3), jnp.zeros(3), jnp.asarray(0.1), jnp.asarray(0.1),
+    cfg=cfg, voxel_capacity=2048, k=10,
+)
+r1 = np.asarray(res1.rot)
+rot_err1 = np.degrees(np.arccos(np.clip((np.trace(r1 @ R.T) - 1) / 2, -1, 1)))
+assert rot_err1 < 0.5, rot_err1
+assert np.linalg.norm(np.asarray(res1.trans) - t_gt) < 0.08, res1.trans
+
 print(f"WORKER_{pid}_OK total={total}")
 """
 

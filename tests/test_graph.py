@@ -2,6 +2,7 @@
 must pull the trajectory back to ground truth."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from rolo_tpu.geometry import so3, se3
@@ -60,6 +61,7 @@ def build_square_trajectory(k_cap=32, n=12, drift=0.05):
 
 
 class TestPoseGraph:
+    @pytest.mark.slow
     def test_odometry_only_exact(self):
         graph, true, rot_est, trans_est, n = build_square_trajectory(drift=0.03)
         sol = solve_pose_graph(graph, rot_est, trans_est, jnp.asarray(n), gn_iterations=10)
@@ -180,6 +182,7 @@ class TestScaleVsOracle:
             priors.append((i, j, rel_r, rel_t, np.array([1e-4, 1e-4, 1e-2, 1e-2, 1e-2, 1e-4]), 0.0))
         return (true_rot, true_trans, odom_rot, odom_trans, est_rot, est_trans, loops, priors)
 
+    @pytest.mark.slow
     def test_full_capacity_matches_f64_oracle(self):
         from oracle_posegraph import solve_pose_graph_oracle
         from rolo_tpu.graph.factors import FIRST_PRIOR_VARIANCES, ODOM_VARIANCES
@@ -228,6 +231,7 @@ class TestDenseMethod:
     matrix-free PCG path — it is the production method used by
     mapping.backend.solve_graph_host (round-3 backend speedup)."""
 
+    @pytest.mark.slow
     def test_dense_matches_pcg_with_loop(self):
         graph, true, rot_est, trans_est, n = build_square_trajectory()
         rel = true[n - 1].inverse().compose(true[0])
@@ -256,6 +260,7 @@ class TestSolveGraphHost:
     smallest capacity bucket covering the live count is compiled, poses are
     corrected in the full-capacity DB, and pending_solve clears."""
 
+    @pytest.mark.slow
     def test_bucketed_solve_corrects_and_clears(self):
         import dataclasses
         from rolo_tpu.config import RoloConfig, StaticConfig

@@ -1,6 +1,7 @@
 """Scan-to-submap GN and keyframe DB tests."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from rolo_tpu.geometry import so3
@@ -151,6 +152,7 @@ class TestScan2MapVariants:
             submap_c, submap_s, **kw,
         )
 
+    @pytest.mark.slow
     def test_approx_and_candidate_paths_agree(self):
         cp, sp, submap_c, submap_s, true_rpy, true_xyz = self._problem()
         for kw in (

@@ -65,6 +65,7 @@ class TestMesh:
 
 
 class TestRegistrationBatch:
+    @pytest.mark.slow
     def test_sharded_batch_matches_single(self, mesh):
         n, b = 512, 8
         cfg = RegistrationConfig(max_outer_iterations=16)
@@ -86,6 +87,7 @@ class TestRegistrationBatch:
             np.testing.assert_allclose(np.asarray(res.rot[i]), rot, atol=0.02)
             np.testing.assert_allclose(np.asarray(res.trans[i]), t, atol=0.08)
 
+    @pytest.mark.slow
     def test_batch_result_deterministic_vs_unsharded(self, mesh):
         n, b = 256, 8
         cfg = RegistrationConfig(max_outer_iterations=8)
@@ -105,6 +107,7 @@ class TestRegistrationBatch:
 
 
 class TestOdometryBatch:
+    @pytest.mark.slow
     def test_batched_sequences(self, mesh):
         b, t_steps, n = 8, 3, 256
         cfg = RegistrationConfig(max_outer_iterations=8)
@@ -174,6 +177,7 @@ class TestPodMesh:
         assert sx.sharding.is_equivalent_to(pod_batch_sharding(m), 2)
         assert sy.sharding.is_fully_replicated
 
+    @pytest.mark.slow
     def test_pod_registration_matches_1d(self, mesh):
         from rolo_tpu.parallel.batch import ShardedRegistrationInputs
 
@@ -203,6 +207,7 @@ class TestSpmdRegistration:
     """Point-axis sharded registration (parallel/spmd.py): psum Hessian
     reduction must reproduce the single-device solve."""
 
+    @pytest.mark.slow
     def test_spmd_matches_single_device(self, mesh):
         from rolo_tpu.parallel.spmd import register_scan_pair_spmd
         from rolo_tpu.registration.rotgicp import register_scan_pair

@@ -171,6 +171,7 @@ class TestSE3Registration:
 
 
 class TestBatched:
+    @pytest.mark.slow
     def test_vmap_registration(self):
         pts = make_scene(1024)
         src_xyz, src_mask = pad(pts, 1024)

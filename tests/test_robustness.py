@@ -8,6 +8,7 @@ import dataclasses
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rolo_tpu.config import RoloConfig, StaticConfig
 from rolo_tpu.frontend import odometry
@@ -125,9 +126,100 @@ class TestCapacityOverflow:
         assert int(db.count) == 4  # silently saturates
         assert _finite(db.trans)
 
+    @pytest.mark.slow
     def test_graph_solve_with_empty_graph(self):
         g = empty_graph(8, 4, 4)
         rot = jnp.broadcast_to(jnp.eye(3), (8, 3, 3))
         trans = jnp.zeros((8, 3))
         sol = solve_pose_graph(g, rot, trans, jnp.asarray(0, jnp.int32), gn_iterations=2, cg_iterations=5)
         assert _finite((sol.rot, sol.trans))
+
+
+class TestFailureGateReset:
+    @pytest.mark.slow
+    def test_gate_holds_pose_and_zeroes_step_on_jump(self):
+        """With enable_failure_gate, an injected jump REJECTS the step: the
+        pose holds at the previous estimate and the next forward prediction
+        is not seeded by the jump (the reset path the reference banners at
+        lidarOdometry.cpp:567-569; detection bounds :629-643)."""
+        n = 512
+        cfg = RegistrationConfig(max_outer_iterations=8)
+        rng = np.random.default_rng(3)
+        base = rng.normal(0, 10, (n, 3)).astype(np.float32)
+
+        def run(gate):
+            state = odometry.init_state(n)
+            state, _ = odometry.scan_step(
+                state, jnp.asarray(base), jnp.ones(n, bool), jnp.asarray(0.1),
+                cfg, 512, 5, enable_failure_gate=gate,
+            )
+            pose_before = np.asarray(state.pose_trans)
+            # jump: scan displaced 5 m -> 50 m/s, far over the bound
+            state, out = odometry.scan_step(
+                state, jnp.asarray(base - np.array([5.0, 0, 0], np.float32)),
+                jnp.ones(n, bool), jnp.asarray(0.1), cfg, 512, 5,
+                enable_failure_gate=gate,
+            )
+            return state, out, pose_before
+
+        st_on, out_on, before = run(True)
+        assert bool(out_on.failure)
+        np.testing.assert_allclose(np.asarray(st_on.pose_trans), before, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(st_on.step_trans), 0.0, atol=1e-6)
+
+        st_off, out_off, before_off = run(False)
+        assert bool(out_off.failure)
+        # ungated: the (partially recovered) jump flows into the pose
+        # (reference parity — the registration does not track the full 5 m
+        # on an unstructured cloud, but the pose must move)
+        assert np.linalg.norm(np.asarray(st_off.pose_trans) - before_off) > 0.1
+
+
+class TestCrashRecovery:
+    @pytest.mark.slow
+    def test_checkpoint_kill_restore_matches_uninterrupted(self, tmp_path):
+        """Elastic-recovery analog of respawn="true"
+        (launch/module_loam.launch:6-9): checkpoint mid-sequence, discard
+        the system, restore into a FRESH SlamSystem, finish the sequence —
+        the final keyframe trajectory must match the uninterrupted run."""
+        from rolo_tpu.runtime.slam import SlamSystem
+        from rolo_tpu.sim import SimConfig, generate_sequence, ground_map_points
+        from rolo_tpu.sim.dataset import make_scene
+        from test_sim import SIM_SLAM_CFG
+
+        cfg = SIM_SLAM_CFG  # small caps: keeps the 3 compile sets cheap
+        sim = SimConfig(n_scans=24, n_cols=512, sensor="velodyne16", period=24.0, seed=0)
+        scene = make_scene(sim)
+        frames = list(generate_sequence(sim, scene))
+        gm = ground_map_points(sim, scene)
+
+        def feed(slam, fs):
+            for f in fs:
+                slam.process_scan(f.points, f.stamp, ring=f.ring, rel_time=f.rel_time)
+
+        ref = SlamSystem(cfg)
+        ref.set_ground_map(gm)
+        feed(ref, frames)
+        _, ref_kp, _ = ref.keyframe_trajectory()
+
+        half = len(frames) // 2
+        a = SlamSystem(cfg)
+        a.set_ground_map(gm)
+        feed(a, frames[:half])
+        ckpt = str(tmp_path / "mid.npz")
+        a.checkpoint(ckpt)
+        del a  # the "crash"
+
+        b = SlamSystem(cfg)
+        b.set_ground_map(gm)
+        b.restore(ckpt)
+        # stamps keep the ORIGINAL epoch across the restore (checkpointed
+        # host clocks); cadences and keyframe sync gates must still work
+        feed(b, frames[half:])
+        _, b_kp, _ = b.keyframe_trajectory()
+
+        assert b_kp.shape[0] == ref_kp.shape[0], (b_kp.shape, ref_kp.shape)
+        # same keyframe poses within a small band (the restored run redoes
+        # the in-flight async tail, so bit-equality is not expected)
+        err = np.linalg.norm(b_kp - ref_kp, axis=1)
+        assert float(err.max()) < 0.05, err.max()

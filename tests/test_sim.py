@@ -232,6 +232,7 @@ class TestDeskewAB:
         assert d_skew > 0.05, d_skew
         assert d_desk < 0.02, (d_desk, d_skew)
 
+    @pytest.mark.slow
     def test_deskew_ate_non_inferior(self):
         import dataclasses
 
@@ -259,6 +260,7 @@ class TestEndToEndSim:
     scans with exact GT. Longer/looped runs live in tools/run via the CLI;
     this pins the small-scale number in CI."""
 
+    @pytest.mark.slow
     def test_short_segment_ate(self, tmp_path):
         from rolo_tpu.runtime.dataset import run_simulated
 

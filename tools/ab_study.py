@@ -32,7 +32,12 @@ def main() -> None:
     ap.add_argument("--cols", type=int, default=1024)
     ap.add_argument("--period", type=float, default=24.0)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--variants", default="baseline,deskew,no_loops,no_priors")
+    ap.add_argument("--roughness", type=float, default=1.0)
+    ap.add_argument("--noise-std", type=float, default=0.02)
+    ap.add_argument("--dropout", type=float, default=0.05)
+    ap.add_argument("--boxes", type=int, default=14)
+    ap.add_argument("--cyls", type=int, default=24)
+    ap.add_argument("--variants", default="baseline,no_deskew,no_loops,no_priors")
     ap.add_argument("--out", default="AB_STUDY.json")
     args = ap.parse_args()
 
@@ -50,7 +55,9 @@ def main() -> None:
     from rolo_tpu.sim import SimConfig
 
     sim = SimConfig(n_scans=args.scans, n_cols=args.cols, sensor="velodyne32",
-                    period=args.period, seed=args.seed)
+                    period=args.period, seed=args.seed, roughness=args.roughness,
+                    noise_std=args.noise_std, dropout=args.dropout,
+                    n_boxes=args.boxes, n_cyls=args.cyls)
     base = RoloConfig()
 
     def variant_cfg(name):
@@ -60,10 +67,19 @@ def main() -> None:
             return base.replace(
                 sensor=dataclasses.replace(base.sensor, deskew_enabled=True)
             ), True
+        if name == "no_deskew":
+            return base.replace(
+                sensor=dataclasses.replace(base.sensor, deskew_enabled=False)
+            ), True
         if name == "no_loops":
             return base.replace(loop=dataclasses.replace(base.loop, enable=False)), True
         if name == "no_priors":
             return base, False
+        if name == "no_loops_no_priors":
+            # control for the prior-value question: z/roll/pitch drift is
+            # only correctable by priors when loops aren't already pinning
+            # it (short looped runs sit at mm-level z error with loops on)
+            return base.replace(loop=dataclasses.replace(base.loop, enable=False)), False
         raise ValueError(name)
 
     results = {}

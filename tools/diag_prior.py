@@ -25,6 +25,7 @@ def main() -> None:
     ap.add_argument("--cols", type=int, default=512)
     ap.add_argument("--period", type=float, default=24.0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--roughness", type=float, default=1.0)
     args = ap.parse_args()
 
     from rolo_tpu.runtime.platform import enable_compilation_cache
@@ -46,7 +47,7 @@ def main() -> None:
 
     cfg = RoloConfig()
     sim = SimConfig(n_scans=args.scans, n_cols=args.cols, sensor="velodyne32",
-                    period=args.period, seed=args.seed)
+                    period=args.period, seed=args.seed, roughness=args.roughness)
     scene = make_scene(sim)
     slam = SlamSystem(cfg)
     slam.set_ground_map(ground_map_points(sim, scene))

@@ -24,6 +24,7 @@ register, so the metric cannot improve by silently diverging.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -110,7 +111,7 @@ def main():
 
     enable_compilation_cache()
 
-    batch = 16
+    batch = int(os.environ.get("ROLO_BENCH_BATCH", "16"))
     cfg = RegistrationConfig()
     voxel_capacity = RoloConfig().static.max_voxels
     k = cfg.k_correspondences

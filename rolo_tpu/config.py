@@ -125,9 +125,11 @@ class MappingConfig:
     scan2map_max_iterations: int = 16
     # Iterations between correspondence re-searches in scan2map. The
     # reference rebinds every iteration (=1); the 5-NN is >80% of the TPU
-    # iteration cost while mapping refinement moves the pose sub-cm, so 5
-    # is a ~4x backend speedup at equal linearization count (TPU knob).
-    scan2map_rebind_every: int = 5
+    # iteration cost while mapping refinement moves the pose sub-cm
+    # (TPU knob). AB_DEFAULTS.json grid: keyframe ATE 0.0238 (rebind 1) /
+    # 0.0232 (5) / 0.0217 (10) — cadence-insensitive on the 200-scan
+    # study, so ship the cheapest.
+    scan2map_rebind_every: int = 10
     degeneracy_eigen_threshold: float = 100.0  # backMapping.cpp:1006-1035
     # Submap assembly keeps the nearest N eligible keyframes (the fixed-size
     # stand-in for the reference's 2 m pose-set voxel downsample,

@@ -59,11 +59,18 @@ def make_descriptor(
     valid = mask & (azim_range <= max_radius)
 
     flat = ring.astype(jnp.int32) * num_sector + sector.astype(jnp.int32)
-    # invalid points scatter -inf so they never win the max
-    zval = jnp.where(valid, z, -jnp.inf)
-    desc = jnp.full((num_ring * num_sector,), -jnp.inf, xyz.dtype)
-    desc = desc.at[flat].max(zval)
-    desc = jnp.where(jnp.isfinite(desc), desc, 0.0)  # NO_POINT -> 0 (:186-190)
+    n_bins = num_ring * num_sector
+    # Scatter-free bin max (TPU: a 32k scatter-max serializes, ~5 ms/scan;
+    # this sort + searchsorted form is ~4x faster and exact): lex-sort by
+    # (bin, -z) so each bin's run starts at its max, then binary-search the
+    # run start per bin. Invalid points sort into a sentinel bin past the
+    # end.
+    flat = jnp.where(valid, flat, n_bins)
+    flat_sorted, neg_z_sorted = jax.lax.sort((flat, -z), num_keys=2)
+    pos = jnp.searchsorted(flat_sorted, jnp.arange(n_bins, dtype=flat.dtype))
+    pos = jnp.clip(pos, 0, flat.shape[0] - 1)
+    hit = flat_sorted[pos] == jnp.arange(n_bins, dtype=flat.dtype)
+    desc = jnp.where(hit, -neg_z_sorted[pos], 0.0)  # NO_POINT -> 0 (:186-190)
     return desc.reshape(num_ring, num_sector)
 
 

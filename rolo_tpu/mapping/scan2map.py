@@ -180,10 +180,13 @@ def surf_bind(
     d2 = jnp.sum((neigh - world[:, None, :]) ** 2, axis=-1)
     near_ok = jnp.max(d2, axis=1) < 1.0
 
-    # plane fit: solve A n = -1 (5x3 least squares via normal equations)
+    # plane fit: solve A n = -1 (5x3 least squares via normal equations).
+    # solve_psd is the unrolled closed-form Cholesky — a jnp.linalg.solve
+    # here lowers to XLA's tiny-matrix LU kernel, which ran serially per
+    # matrix and cost ~14 ms of the ~15.6 ms scan2map bind at [12288,3,3].
     ata = jnp.einsum("nki,nkj->nij", neigh, neigh)
     atb = -jnp.sum(neigh, axis=1)
-    n_vec = jax.vmap(solve_psd)(ata, atb)  # [N, 3]
+    n_vec = solve_psd(ata, atb)  # [N, 3]
     norm = jnp.linalg.norm(n_vec, axis=-1)
     pa = n_vec / jnp.maximum(norm, 1e-9)[:, None]
     pd = 1.0 / jnp.maximum(norm, 1e-9)

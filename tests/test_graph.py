@@ -278,10 +278,17 @@ class TestSolveGraphHost:
         for i in range(n):
             db = add_keyframe(db, se3.SE3(rot_est[i], trans_est[i]),
                               jnp.asarray(float(i)), cloud, cloud)
+        from rolo_tpu.geometry import so3 as _so3
+
+        # current pose = the latest keyframe's estimate (the solve applies
+        # the latest keyframe's correction DELTA to it; with the current
+        # pose at the keyframe, the corrected pose IS the solved keyframe)
+        r_, p_, y_ = _so3.matrix_to_rpy(rot_est[n - 1])
         st = st._replace(db=db, graph=st.graph._replace(
             odom_rel_rot=graph.odom_rel_rot, odom_rel_trans=graph.odom_rel_trans,
             first_rot=graph.first_rot, first_trans=graph.first_trans),
-            pending_solve=jnp.asarray(True))
+            pending_solve=jnp.asarray(True),
+            rpy=jnp.stack([r_, p_, y_]), xyz=trans_est[n - 1])
         rel = true[n - 1].inverse().compose(true[0])
         st = st._replace(graph=st.graph._replace(loops=add_between(
             st.graph.loops, n - 1, 0, rel.rot, rel.trans, jnp.full(6, 1e-4))))
@@ -293,7 +300,11 @@ class TestSolveGraphHost:
         drift = np.linalg.norm(
             np.asarray(st.db.trans[n - 1]) - np.asarray(true[n - 1].trans))
         assert err < 0.3 * drift, (err, drift)
-        # transformTobeMapped refreshed from the corrected latest pose
-        assert np.allclose(np.asarray(st2.xyz), np.asarray(st2.db.trans[n - 1]))
+        # transformTobeMapped receives the latest keyframe's correction
+        # delta; with the current pose sitting AT that keyframe, the
+        # corrected pose equals the solved keyframe pose
+        assert np.allclose(
+            np.asarray(st2.xyz), np.asarray(st2.db.trans[n - 1]), atol=1e-4
+        )
         # untouched capacity tail
         assert np.allclose(np.asarray(st2.db.trans[n:]), np.asarray(st.db.trans[n:]))

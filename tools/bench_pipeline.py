@@ -77,7 +77,7 @@ def main() -> None:
 
     from rolo_tpu.config import LoopConfig, RoloConfig
     from rolo_tpu.runtime.slam import SlamSystem
-    from rolo_tpu.sim import SimConfig, generate_sequence, ground_map_points
+    from rolo_tpu.sim import SimConfig, generate_sequence
     from rolo_tpu.sim.dataset import make_scene
 
     cfg = RoloConfig()
@@ -92,11 +92,15 @@ def main() -> None:
     print(f"generating {total} sim scans ...", file=sys.stderr)
     frames = list(generate_sequence(sim, scene))
 
+    if args.no_priors:
+        import dataclasses
+
+        cfg = cfg.replace(prior=dataclasses.replace(cfg.prior, enable=False))
     slam = SlamSystem(cfg)
     slam.sync_stages = bool(args.synced)
-    use_priors = cfg.prior.enable and not args.no_priors
-    if use_priors:
-        slam.set_ground_map(ground_map_points(sim, scene))
+    # priors run on the self-built LIVE ground map (the reference-faithful
+    # frame-consistent path); no external GT map is injected
+    use_priors = cfg.prior.enable
 
     gt = np.stack([f.gt_trans for f in frames])
 
@@ -143,14 +147,18 @@ def main() -> None:
 
     _f = frames[-1]
     _scan = slam._make_raw_scan(_f.points, _f.ring, _f.rel_time)
-    _img = slam._project(_scan) if not cfg.sensor.deskew_enabled else None
-    if _img is None:
-        frontend_s = slam.timers.summary().get("frontend", {}).get("mean_ms", 0.0) / 1e3
-    else:
+    if True:
         from rolo_tpu.pointcloud.cloud import concat_clouds as _cc
 
         import jax.numpy as jnp
 
+        if cfg.sensor.deskew_enabled:
+            _img = slam._project(
+                _scan, jnp.zeros(3, jnp.float32), jnp.zeros(3, jnp.float32),
+                jnp.asarray(cfg.sensor.scan_period, jnp.float32),
+            )
+        else:
+            _img = slam._project(_scan)
         _fc = slam._extract(_img)
         _feat = _cc(_fc.corners, _fc.surfaces, cfg.static.max_feature_points)
         _dt = jnp.asarray(0.1, jnp.float32)

@@ -121,6 +121,24 @@ def main():
     lstep = jax.jit(lambda s: backend.loop_closure_step(s, cfg)[0].pending_solve)
     timeit("loop_closure_step", lstep, state)
 
+    # 8) differential rows: where does backend_step's residual time go?
+    raw_cloud = make_cloud(30000, 32768, seed=997)  # pipeline-size sc input
+    timeit("sc.make_descriptor [32768 raw]", scd, raw_cloud)
+    timeit("backend_step (sc_cloud=raw 32768)", bstep, state, corner, surf,
+           raw_cloud, jnp.eye(3), query_t)
+    fresh = backend.init_backend(cfg)
+    timeit("backend_step (count=0: no scan2map)", bstep, fresh, corner, surf,
+           surf, jnp.eye(3), query_t)
+
+    # masked keyframe write-back (the add/where over the full-capacity DB)
+    def add_and_where(s, c, su):
+        pose = SE3(jnp.eye(3), query_t)
+        newdb = add_keyframe(s.db, pose, query_time, c, su)
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(True, b, a), s.db, newdb
+        ).count
+    timeit("add_keyframe + tree where [full DB]", jax.jit(add_and_where), state, corner, surf)
+
 
 if __name__ == "__main__":
     main()

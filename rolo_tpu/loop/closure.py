@@ -110,7 +110,13 @@ def icp_point2point(
     init_trans: jnp.ndarray,
     max_corr_dist: float,
     max_iterations: int = 100,
-    transformation_epsilon: float = 1e-6,
+    # termination-only (the converged flag is correspondence-based, pcl
+    # semantics). The reference's 1e-6 sits BELOW the f32 re-estimation
+    # floor (~|x|·eps ≈ 3e-6 at 30 m coordinates), so every ICP silently
+    # burned its full iteration budget — 100 × a [2k×32k] kNN per
+    # loop/prior verification; 1e-5 exits on the same stall one iteration
+    # later than f64 pcl would.
+    transformation_epsilon: float = 1e-5,
     chunk: int = 512,
     approx_knn: bool = False,
 ) -> ICPResult:

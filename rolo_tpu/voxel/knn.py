@@ -57,6 +57,10 @@ def knn_indices(
     pad = (-q) % chunk
     if pad:
         query = jnp.pad(query, ((0, pad), (0, 0)))
+    # masked slots may hold arbitrary padding (incl. NaN); NaN coordinates
+    # would poison the whole distance row (NaN + inf = NaN) and leak into
+    # every query's top-k, so zero them before they enter the matmul
+    points = jnp.where(points_mask[:, None], points, 0.0)
     x2 = jnp.sum(points * points, axis=1)  # [N]
     inf_row = jnp.where(points_mask, 0.0, jnp.inf)
 
@@ -153,6 +157,11 @@ def estimate_cov6(
         cand_xyz, cand_mask = xyz, mask
     n = xyz.shape[0]
     pad = (-n) % chunk
+    # NaN padding in masked slots would poison d2 rows (NaN + inf = NaN)
+    # and through them every query's threshold — zero masked coordinates
+    # (queries too: a NaN query row would NaN its own moments)
+    cand_xyz = jnp.where(cand_mask[:, None], cand_xyz, 0.0)
+    xyz = jnp.where(mask[:, None], xyz, 0.0)
     xyz_p = jnp.pad(xyz, ((0, pad), (0, 0))) if pad else xyz
     x2 = jnp.sum(cand_xyz * cand_xyz, axis=1)
     inf_row = jnp.where(cand_mask, 0.0, jnp.inf)

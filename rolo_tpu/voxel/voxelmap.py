@@ -115,7 +115,9 @@ class VoxelMap(NamedTuple):
     """Sorted fixed-capacity voxel table, SoA layout.
 
     pack [V] int32 sorted ascending, the exact packed bin per slot
-    (INVALID_PACK for empty slots); stats [10, V] join-table planes
+    (INVALID_PACK for empty slots; at full capacity, duplicate slots
+    repeat their run-start's pack with `valid`=False and zeroed stats —
+    see build_voxel_map's fast path); stats [10, V] join-table planes
     (num, mean x/y/z, cov6) with zeroed invalid columns; num_points [V];
     mean [3, V]; cov6 [6, V]; kappa [V]; valid [V] bool; polar flag.
     """
@@ -171,19 +173,41 @@ def build_voxel_map(
         pack = pack_uniform(coord)
     pack = jnp.where(mask, pack, INVALID_PACK)
 
-    # unique packs -> slots: sort, mark run starts, binary-search the v-th
-    # start. No scatters.
     sp = jnp.sort(pack)
     is_valid = sp != INVALID_PACK
     new_seg = is_valid & jnp.concatenate(
         [jnp.ones((1,), bool), sp[1:] != sp[:-1]]
     )
-    n_seg = jnp.sum(new_seg)
-    seg_id = jnp.where(is_valid, jnp.cumsum(new_seg) - 1, jnp.int32(2**30))
-    slot = jnp.arange(capacity, dtype=jnp.int32)
-    pos = jnp.clip(jnp.searchsorted(seg_id, slot), 0, sp.shape[0] - 1)
-    valid = slot < n_seg
-    table_pack = jnp.where(valid, sp[pos], INVALID_PACK)
+    if capacity >= sp.shape[0]:
+        # Fast path (production shapes: capacity >= N): keep the sorted
+        # packs WITH duplicates as the table and mark only run starts
+        # valid. Compacting unique packs into slots (cumsum + binary
+        # search + gather) was 1.25 ms of the 1.5 ms build on TPU — 16
+        # vmapped rows x 8192 x 13 binary-search rounds of random gathers
+        # serialize; everything else in the build is sort/matmul-shaped
+        # and takes ~0.25 ms. Correctness is unchanged downstream:
+        #   - the segment-reduce below gives duplicate slots the full
+        #     segment sum, but their stats are zeroed via `valid`, so
+        #     joins (lookup_join: sum over ALL matching slots) still see
+        #     each voxel exactly once;
+        #   - `lookup`'s searchsorted returns the LEFTMOST match, which
+        #     in a sorted array is precisely the run start (the valid
+        #     slot);
+        #   - INVALID_PACK (int32 max) sorts last, so the table stays
+        #     ascending for the binary search.
+        table_pack = sp
+        valid = new_seg
+    else:
+        # Truncating path (capacity < N): unique packs -> compact slots:
+        # binary-search the v-th run start. Keeps the smallest `capacity`
+        # packed bins; only used by callers that deliberately shrink the
+        # table (tests, memory-tight submaps).
+        n_seg = jnp.sum(new_seg)
+        seg_id = jnp.where(is_valid, jnp.cumsum(new_seg) - 1, jnp.int32(2**30))
+        slot = jnp.arange(capacity, dtype=jnp.int32)
+        pos = jnp.clip(jnp.searchsorted(seg_id, slot), 0, sp.shape[0] - 1)
+        valid = slot < n_seg
+        table_pack = jnp.where(valid, sp[pos], INVALID_PACK)
 
     # per-voxel sums as one MXU keyed matmul (segment-reduce)
     w = mask.astype(xyz.dtype)

@@ -140,7 +140,9 @@ class TestVoxelMap:
         got_n = int(jnp.sum(vm.valid))
         assert got_n == len(cells)
         coords = np.asarray(vm.coord(polar=False))
-        for v in range(got_n):
+        # valid slots are run starts of the sorted pack array, not
+        # necessarily compacted to the front (build_voxel_map fast path)
+        for v in np.flatnonzero(np.asarray(vm.valid)):
             c = tuple(coords[v])
             assert c in cells
             np.testing.assert_allclose(

@@ -192,27 +192,39 @@ def estimate_cov6(
             axis=1,
         ) * cand_mask[:, None]
 
-        def one_chunk(qc):
-            # raised-precision distance matmul (see knn_indices) — bf16 d2
-            # noise shifts the k-th-NN membership threshold
-            d2 = (
-                jnp.sum(qc * qc, axis=1, keepdims=True)
-                - 2.0 * jnp.dot(qc, cand_xyz.T, preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.HIGH)
-                + x2[None, :]
-            ) + inf_row[None, :]
-            dk, _ = jax.lax.approx_min_k(d2, k)
-            rk = dk[:, -1:]
-            w = (d2 <= rk).astype(qc.dtype)
-            # membership mask is 0/1 = exact in bf16; moments need the
-            # raised precision for the coordinate products
-            return jnp.dot(w, xc, preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGH)
+        if jax.default_backend() == "tpu":
+            # fused Pallas kernel: the distance tile never leaves VMEM
+            # (the XLA path below re-reads it from HBM three times —
+            # ~800 MB/cloud at N=8192)
+            from ..ops.knn_moments import knn_moments
 
-        mom = jax.lax.map(one_chunk, xyz_p.reshape(-1, chunk, 3)).reshape(-1, 10)[:n]
-        cnt = jnp.maximum(mom[:, 0], 1.0)
-        mu = (mom[:, 1:4] / cnt[:, None]).T  # [3, N]
-        exx = (mom[:, 4:] / cnt[:, None]).T  # [6, N]
+            xc16 = jnp.pad(xc.T, ((0, 6), (0, 0)))  # [16, N] SoA
+            mom16 = knn_moments(xyz, mask, cand_xyz, cand_mask, xc16, k)
+            cnt = jnp.maximum(mom16[0], 1.0)  # [N]
+            mu = mom16[1:4] / cnt[None, :]  # [3, N]
+            exx = mom16[4:10] / cnt[None, :]  # [6, N]
+        else:
+            def one_chunk(qc):
+                # raised-precision distance matmul (see knn_indices) — bf16
+                # d2 noise shifts the k-th-NN membership threshold
+                d2 = (
+                    jnp.sum(qc * qc, axis=1, keepdims=True)
+                    - 2.0 * jnp.dot(qc, cand_xyz.T, preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.HIGH)
+                    + x2[None, :]
+                ) + inf_row[None, :]
+                dk, _ = jax.lax.approx_min_k(d2, k)
+                rk = dk[:, -1:]
+                w = (d2 <= rk).astype(qc.dtype)
+                # membership mask is 0/1 = exact in bf16; moments need the
+                # raised precision for the coordinate products
+                return jnp.dot(w, xc, preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGH)
+
+            mom = jax.lax.map(one_chunk, xyz_p.reshape(-1, chunk, 3)).reshape(-1, 10)[:n]
+            cnt = jnp.maximum(mom[:, 0], 1.0)
+            mu = (mom[:, 1:4] / cnt[:, None]).T  # [3, N]
+            exx = (mom[:, 4:] / cnt[:, None]).T  # [6, N]
         # centered second moment, rescaled to the reference's sum/k
         cov6 = jnp.stack(
             [

@@ -29,6 +29,16 @@ FROBENIUS = "frobenius"
 NONE = "none"
 
 
+def _d2_chunk(qc: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
+    """[C, N] squared distances between qc [C, 3] and points [N, 3],
+    elementwise difference form (cancellation-free at lidar ranges)."""
+    return (
+        (qc[:, 0:1] - points[:, 0][None, :]) ** 2
+        + (qc[:, 1:2] - points[:, 1][None, :]) ** 2
+        + (qc[:, 2:3] - points[:, 2][None, :]) ** 2
+    )
+
+
 def knn_indices(
     query: jnp.ndarray,
     query_mask: jnp.ndarray,
@@ -61,23 +71,20 @@ def knn_indices(
     # would poison the whole distance row (NaN + inf = NaN) and leak into
     # every query's top-k, so zero them before they enter the matmul
     points = jnp.where(points_mask[:, None], points, 0.0)
-    x2 = jnp.sum(points * points, axis=1)  # [N]
     inf_row = jnp.where(points_mask, 0.0, jnp.inf)
 
     def one_chunk(qc):
-        # [C, N] squared distances via MXU. Raised precision is REQUIRED:
-        # the TPU default multiplies in bf16, which perturbs d2 by ~1e-2
-        # relative — at ~30 m ranges that is +-0.3 m, enough to scramble
-        # the 5-NN ordering entirely (measured 0.41 overlap with the true
-        # 5-NN at default precision). HIGH (3-pass bf16, ~f32-accurate
-        # product at half the cost of 6-pass HIGHEST) restores exact
-        # ordering; also the library-wide default (rolo_tpu/__init__).
-        d2 = (
-            jnp.sum(qc * qc, axis=1, keepdims=True)
-            - 2.0 * jnp.dot(qc, points.T, preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGH)
-            + x2[None, :]
-        )
+        # [C, N] squared distances, ELEMENTWISE (see _d2_chunk): the
+        # |q|^2 - 2 q.x + |x|^2 MXU form catastrophically cancels at
+        # lidar ranges (|x|^2 ~ 3.6e3 vs neighbor gaps ~1e-2; even the
+        # 3-pass HIGH product leaves ~5e-3 absolute d2 noise, a ~14%
+        # median error on 20-NN radii — measured round 5). The
+        # difference form subtracts nearby coordinates FIRST, so
+        # round-off is relative to the gap and ordering is f64-exact in
+        # practice; XLA fuses the three coordinate sweeps into one
+        # elementwise pass over the [C, N] tile, so it is also no slower
+        # than the matmul form (both are d2-output-bandwidth-bound).
+        d2 = _d2_chunk(qc, points)
         d2 = d2 + inf_row[None, :]
         if approximate:
             _, idx = jax.lax.approx_min_k(d2, k, recall_target=recall_target)
@@ -140,10 +147,21 @@ def estimate_cov6(
         lax.approx_min_k on the MXU distance chunk; neighborhood zeroth/
         first/second moments are then ONE extra matmul with the membership
         mask (d2 <= r_k) — no index materialization, no random gather.
-        Exact when r_k is exact; approx_min_k's recall loss only perturbs
-        which boundary point is the kth, a sub-1% covariance change that
-        PLANE regularization (eigenvalue replacement) erases. 21x faster
-        than the exact path on TPU (151 ms -> 7 ms per 16x4096 batch).
+        Membership is near-exact (elementwise d2 + margined approx_min_k
+        give r_k to ~1e-8 relative), but the covariance FORMULA
+        E[xx] - mu mu^T carries an irreducible f32 cancellation at lidar
+        coordinate scale: xx table entries ~2.5e3 are f32-quantized at
+        ~1.5e-4 while cov entries are ~1e-4..1e-3, costing ~6% median
+        relative error pre-regularization vs the exact selector
+        (tests_tpu/test_tpu_numeric_oracles.py pins the measured bound).
+        Measured cost at the REGISTRATION level (bench.py, 16 sim scan
+        pairs, zero guess, TPU v5e): moment 0.41 deg / 0.011 m vs exact
+        0.40 deg / 0.010 m — within 10% on translation — at 206 vs 10.4
+        reg/s end-to-end (the exact path's [N, k] gather serializes the
+        whole program). The round-4 "3x translation cost" attributed to
+        this selector was actually the Pallas knn_moments kernel's two
+        precision bugs (fixed; see ops/knn_moments.py — the kernel is now
+        opt-in and oracle-tested).
       "exact": lax.top_k indices + gather, bit-faithful to the reference's
         kd-tree k-NN — the oracle for tests.
 
@@ -153,6 +171,11 @@ def estimate_cov6(
     a subset of candidates for the self-neighbor property to hold. Defaults
     to (xyz, mask).
     """
+    import os
+
+    # trace-time A/B override (used by tools/ and the AB studies): forces
+    # every caller onto one selector without threading config through
+    selector = os.environ.get("ROLO_COV_SELECTOR", selector)
     if cand_xyz is None:
         cand_xyz, cand_mask = xyz, mask
     n = xyz.shape[0]
@@ -163,7 +186,6 @@ def estimate_cov6(
     cand_xyz = jnp.where(cand_mask[:, None], cand_xyz, 0.0)
     xyz = jnp.where(mask[:, None], xyz, 0.0)
     xyz_p = jnp.pad(xyz, ((0, pad), (0, 0))) if pad else xyz
-    x2 = jnp.sum(cand_xyz * cand_xyz, axis=1)
     inf_row = jnp.where(cand_mask, 0.0, jnp.inf)
 
     if selector == "exact":
@@ -192,10 +214,25 @@ def estimate_cov6(
             axis=1,
         ) * cand_mask[:, None]
 
-        if jax.default_backend() == "tpu":
-            # fused Pallas kernel: the distance tile never leaves VMEM
-            # (the XLA path below re-reads it from HBM three times —
-            # ~800 MB/cloud at N=8192)
+        import os
+
+        # Optional fused Pallas kernel (ops/knn_moments.py): the distance
+        # tile never leaves VMEM, and standalone it matches the XLA path
+        # (0.49 vs 0.46 ms per 16x8192 batch, k=20, v5e). It is OFF by
+        # default: measured IN CONTEXT (bench.py's full registration
+        # program) the pallas_call costs ~35% end-to-end throughput
+        # (112 vs 168 reg/s) — the call is an XLA fusion/scheduling
+        # barrier in the middle of the solver program, and the XLA moment
+        # path below fuses with its neighbors. Set ROLO_KNN_KERNEL=1 to
+        # opt in (guarded to candidate sets whose [N, 128] f32 distance
+        # tile fits VMEM; the kernel is oracle-tested on TPU in
+        # tests/test_knn_moments.py).
+        use_kernel = (
+            jax.default_backend() == "tpu"
+            and cand_xyz.shape[0] <= 8192
+            and os.environ.get("ROLO_KNN_KERNEL", "0") == "1"
+        )
+        if use_kernel:
             from ..ops.knn_moments import knn_moments
 
             xc16 = jnp.pad(xc.T, ((0, 6), (0, 0)))  # [16, N] SoA
@@ -205,16 +242,19 @@ def estimate_cov6(
             exx = mom16[4:10] / cnt[None, :]  # [6, N]
         else:
             def one_chunk(qc):
-                # raised-precision distance matmul (see knn_indices) — bf16
-                # d2 noise shifts the k-th-NN membership threshold
-                d2 = (
-                    jnp.sum(qc * qc, axis=1, keepdims=True)
-                    - 2.0 * jnp.dot(qc, cand_xyz.T, preferred_element_type=jnp.float32,
-                                    precision=jax.lax.Precision.HIGH)
-                    + x2[None, :]
-                ) + inf_row[None, :]
-                dk, _ = jax.lax.approx_min_k(d2, k)
-                rk = dk[:, -1:]
+                # elementwise distance tile (see _d2_chunk / knn_indices:
+                # the matmul form's cancellation noise shifts the
+                # k-th-NN membership threshold by ~14% median)
+                d2 = _d2_chunk(qc, cand_xyz) + inf_row[None, :]
+                # over-ask approx_min_k: aggregate_to_topk (default) does
+                # an exact top-k over the collected candidates, so with a
+                # margin the k-th value is exact unless >margin of the
+                # true top-(k+margin) were missed by the bin pass —
+                # r_k median error drops to ~3e-8 (vs 4e-8 at margin 0,
+                # but the tail tightens)
+                kk = min(k + 12, cand_xyz.shape[0])
+                dk, _ = jax.lax.approx_min_k(d2, kk)
+                rk = dk[:, k - 1:k]
                 w = (d2 <= rk).astype(qc.dtype)
                 # membership mask is 0/1 = exact in bf16; moments need the
                 # raised precision for the coordinate products

@@ -230,7 +230,7 @@ def frames_from_bag(path: str, topic: Optional[str] = None) -> Iterator[_Frame]:
     from ..cpp import host
 
     reader = host.BagReader(path)
-    conns = reader.connections()
+    conns = reader.connections
     pc2 = [c for c, typ in conns if "PointCloud2" in typ]
     want = topic or (pc2[0] if pc2 else None)
     if want is None:
@@ -241,11 +241,14 @@ def frames_from_bag(path: str, topic: Optional[str] = None) -> Iterator[_Frame]:
         if cname != want:
             continue
         fields = reader.read_pointcloud2(i)
-        pts = np.column_stack([fields["x"], fields["y"], fields["z"]]).astype(np.float32)
+        pts = np.asarray(fields["xyz"], np.float32)
         ring = fields.get("ring")
-        rel = fields.get("time", fields.get("t"))
+        rel = fields.get("time")
         if rel is not None and rel.dtype.kind in "ui":
             rel = (rel.astype(np.float64) * 1e-9).astype(np.float32)
+        # the PointCloud2 header stamp (inside the message) is the scan
+        # time; fall back to the bag record time when it is zero
+        stamp = fields.get("stamp", 0.0) or stamp
         yield _Frame(stamp, pts, ring=ring, rel_time=rel)
 
 

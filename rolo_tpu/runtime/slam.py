@@ -501,6 +501,63 @@ class SlamSystem:
                 self.backend_state = backend.solve_graph_host(self.backend_state, self.cfg)
         self._check_capacity()
 
+    # -- between-scan pose queries ---------------------------------------
+
+    def fused_pose_at(self, stamp: float) -> Dict[str, np.ndarray]:
+        """Wall-clock-decoupled fused pose at an ARBITRARY query time —
+        the consumer API of the reference's 20 Hz fusionTimerHandler
+        (/root/reference/src/lidarOdometry.cpp:137-250): dead-reckons a
+        COPY of the regulator filter to `stamp` and composes
+        mapping o (front_anchor^-1 o filtered_now). Callable any number
+        of times between scans; never advances the filter. Returns host
+        values (one device fetch)."""
+        if self._epoch is None:
+            raise RuntimeError("fused_pose_at before any scan was processed")
+        fp = fusion.fused_pose(
+            self.fusion_state, jnp.asarray(stamp - self._epoch, jnp.float32),
+            self.cfg.filter,
+        )
+        flat = np.asarray(jnp.concatenate([
+            fp.trans, fp.rot.reshape(-1), fp.velocity,
+            fp.speed[None], fp.valid.astype(jnp.float32)[None],
+        ]))
+        return {
+            "trans": flat[:3],
+            "rot": flat[3:12].reshape(3, 3),
+            "velocity": flat[12:15],
+            "speed": float(flat[15]),
+            "valid": bool(flat[16]),
+        }
+
+    def future_path(self) -> Dict[str, np.ndarray]:
+        """The predictTimerHandler output
+        (/root/reference/src/lidarOdometry.cpp:252-322): the ESKF rollout
+        polyline at 0.2 s steps to the 8 m distance budget
+        (statePropagate(0.2, 8.0), eskf.hpp:213-246), expressed in the current
+        lidar frame with z zeroed, plus the final future pose the prior
+        chain consumes. Returns host values (one device fetch)."""
+        pred = fusion.predict_future(self.fusion_state, self.cfg.filter)
+        m = pred.local_pos.shape[0]
+        flat = np.asarray(jnp.concatenate([
+            pred.local_pos.reshape(-1), pred.local_quat.reshape(-1),
+            pred.mask.astype(jnp.float32), pred.final_pos, pred.final_quat,
+            pred.local_velocity, pred.heading_rate[None],
+            pred.valid.astype(jnp.float32)[None],
+        ]))
+        o = 0
+        pos = flat[o:o + 3 * m].reshape(m, 3); o += 3 * m
+        quat = flat[o:o + 4 * m].reshape(m, 4); o += 4 * m
+        mask = flat[o:o + m] > 0.5; o += m
+        return {
+            "path_pos": pos[mask],
+            "path_quat_wxyz": quat[mask],
+            "final_pos": flat[o:o + 3],
+            "final_quat_wxyz": flat[o + 3:o + 7],
+            "local_velocity": flat[o + 7:o + 10],
+            "heading_rate": float(flat[o + 10]),
+            "valid": bool(flat[o + 11]),
+        }
+
     # -- egress ----------------------------------------------------------
 
     @staticmethod

@@ -152,3 +152,70 @@ class TestEskfOdomRegression:
         t, p, _ = rio.read_tum(str(tmp_path / "bag_filtered_tum.txt"))
         assert len(t) == len(stamps)
         np.testing.assert_allclose(p, filt, atol=1e-4)
+
+
+class TestBagWriter:
+    """bagwriter.py <-> native BagReader roundtrip: the writer produces a
+    real rosbag v2 the native parser indexes and decodes bit-true."""
+
+    def test_roundtrip(self, tmp_path):
+        from rolo_tpu.runtime.bagwriter import write_bag
+
+        rng = np.random.default_rng(0)
+        scans = []
+        for i in range(3):
+            n = 200 + 30 * i
+            xyz = rng.normal(size=(n, 3)).astype(np.float32) * 10
+            inten = rng.uniform(0, 100, n).astype(np.float32)
+            ring = rng.integers(0, 16, n).astype(np.int32)
+            rel = rng.uniform(0, 0.1, n).astype(np.float32)
+            scans.append((100.0 + 0.1 * i, xyz, inten, ring, rel))
+        path = str(tmp_path / "w.bag")
+        assert write_bag(path, scans) == 3
+
+        bag = BagReader(path)
+        assert bag.connections == [("/points_raw", "sensor_msgs/PointCloud2")]
+        assert len(bag) == 3
+        for i, (stamp, xyz, inten, ring, rel) in enumerate(scans):
+            fields = bag.read_pointcloud2(i)
+            np.testing.assert_allclose(fields["xyz"], xyz, atol=1e-6)
+            np.testing.assert_allclose(fields["intensity"], inten, atol=1e-5)
+            np.testing.assert_array_equal(fields["ring"], ring)
+            np.testing.assert_allclose(fields["time"], rel, atol=1e-7)
+            _, t, _ = bag.message_info(i)
+            assert abs(t - stamp) < 1e-6
+
+
+FIXTURE_BAG = os.path.join(os.path.dirname(__file__), "fixtures", "sim_bag")
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.exists(os.path.join(FIXTURE_BAG, "seq.bag")),
+                    reason="bag fixture missing")
+class TestBagEndToEnd:
+    """VERDICT r4 item 8: recorded (non-simulated-in-process) data through
+    the FULL stack — native BagReader decode -> SlamSystem -> TUM/g2o
+    export -> ATE vs the fixture's ground truth — via the public CLI."""
+
+    def test_cli_run_on_bag(self, tmp_path, capsys):
+        import json
+
+        from rolo_tpu.__main__ import main as cli_main
+
+        out_dir = str(tmp_path / "out")
+        rc = cli_main([
+            "run", "--input", os.path.join(FIXTURE_BAG, "seq.bag"),
+            "--config", os.path.join(FIXTURE_BAG, "config.yaml"),
+            "--gt", os.path.join(FIXTURE_BAG, "gt_tum.txt"),
+            "--output", out_dir, "--progress", "0",
+        ])
+        assert rc == 0
+        captured = capsys.readouterr().out
+        res = json.loads(captured[captured.index("{"):])
+        assert res["n_scans"] == 12
+        # VLP-16 @ 384 cols, ~1.7 m/s: smoke-grade accuracy bound (the
+        # fixture exists to prove the decode+pipeline path end-to-end)
+        assert res["ate_frontend_rmse_m"] < 0.5
+        assert os.path.exists(os.path.join(out_dir, "front_end_tum.txt"))
+        assert os.path.exists(os.path.join(out_dir, "optimized_tum.txt"))
+        assert os.path.exists(os.path.join(out_dir, "pose_graph.g2o"))

@@ -260,3 +260,130 @@ class TestSpmdRegistration:
                 point_mesh, bad, m, bad, m,
                 jnp.zeros(3), jnp.zeros(3), 0.1, 0.1,
             )
+
+
+class TestBatchedMapping:
+    """BASELINE config 5 / SURVEY 2.7 last row (pod-scale batched
+    MAPPING, not just registration — VERDICT r4 weak #5): B independent
+    sequences' full backend_step (submap extraction, scan-to-submap GN,
+    keyframe gating, odometry factors) vmapped and SHARDED over the
+    device mesh, followed by a vmapped pose-graph solve. Pose-checked
+    against each sequence's known trajectory."""
+
+    def _cfg(self):
+        from rolo_tpu.config import (
+            FeatureConfig, LoopConfig, MappingConfig, RoloConfig, StaticConfig,
+        )
+
+        return RoloConfig(
+            features=FeatureConfig(),
+            mapping=MappingConfig(scan2map_max_iterations=4),
+            loop=LoopConfig(enable=False),
+            static=StaticConfig(
+                max_raw_points=4096,
+                max_corner_points=128,
+                max_surf_points=512,
+                max_feature_points=640,
+                max_voxels=1024,
+                max_keyframes=16,
+                max_submap_points=2048,
+                max_loop_factors=4,
+                max_prior_factors=4,
+                knn_query_chunk=128,
+            ),
+        )
+
+    def _scan(self, trans, seed, n_corner=128, n_surf=512):
+        """World sampled from a sensor at `trans` (identity rotation):
+        surf = walls/ground planes, corner = vertical pillar edges."""
+        rng = np.random.default_rng(seed)
+        surf_w = _structured(n_surf, seed)
+        # pillars: vertical lines at fixed xy
+        pts = []
+        for px, py in [(4.0, 2.0), (6.0, -3.0), (9.0, 1.0), (3.0, -1.5)]:
+            m = n_corner // 4
+            z = rng.uniform(-1.0, 2.0, (m, 1))
+            pts.append(np.concatenate([np.full((m, 1), px), np.full((m, 1), py), z], axis=1))
+        corner_w = np.concatenate(pts)[:n_corner].astype(np.float32)
+        corner_w += rng.normal(0, 0.005, corner_w.shape).astype(np.float32)
+        return corner_w - trans, surf_w - trans
+
+    def test_full_slam_step_sharded(self, mesh):
+        import jax.tree_util as jtu
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from rolo_tpu.graph.solver import solve_pose_graph
+        from rolo_tpu.mapping import backend as mb
+        from rolo_tpu.pointcloud.cloud import PaddedCloud
+
+        cfg = self._cfg()
+        st = cfg.static
+        B, K = 8, 4
+        sharding = NamedSharding(mesh, P("batch"))
+
+        states = jtu.tree_map(
+            lambda *xs: jnp.stack(xs), *[mb.init_backend(cfg) for _ in range(B)]
+        )
+        states = jtu.tree_map(lambda x: jax.device_put(x, sharding), states)
+
+        step_fn = jax.jit(
+            jax.vmap(
+                lambda s, c, cm, f, fm, rot, tr, t: mb.backend_step(
+                    s, PaddedCloud(c, cm), PaddedCloud(f, fm), PaddedCloud(f, fm),
+                    rot, tr, jnp.asarray(True), t, cfg,
+                ),
+                in_axes=(0, 0, 0, 0, 0, 0, 0, 0),
+            ),
+            static_argnames=(),
+        )
+
+        # per-sequence speed: sequence b advances 0.8 + 0.05*b m per step
+        gt = np.zeros((B, K, 3), np.float32)
+        for b in range(B):
+            for s in range(K):
+                gt[b, s, 0] = (0.8 + 0.05 * b) * s
+
+        for s in range(K):
+            corners = np.zeros((B, st.max_corner_points, 3), np.float32)
+            cmask = np.zeros((B, st.max_corner_points), bool)
+            surfs = np.zeros((B, st.max_surf_points, 3), np.float32)
+            smask = np.zeros((B, st.max_surf_points), bool)
+            for b in range(B):
+                cw, sw = self._scan(gt[b, s], seed=100 + b)
+                corners[b, : len(cw)] = cw
+                cmask[b, : len(cw)] = True
+                surfs[b, : len(sw)] = sw
+                smask[b, : len(sw)] = True
+            rot = jnp.broadcast_to(jnp.eye(3), (B, 3, 3))
+            # noisy front-end guess: scan2map must pull it back
+            noise = np.random.default_rng(s).normal(0, 0.02, (B, 3)).astype(np.float32)
+            tr = jnp.asarray(gt[:, s] + (noise if s else 0.0))
+            t = jnp.full((B,), 0.5 * s, jnp.float32)
+            states, out = step_fn(
+                states, jax.device_put(jnp.asarray(corners), sharding),
+                jax.device_put(jnp.asarray(cmask), sharding),
+                jax.device_put(jnp.asarray(surfs), sharding),
+                jax.device_put(jnp.asarray(smask), sharding),
+                rot, tr, t,
+            )
+
+        counts = np.asarray(states.db.count)
+        assert (counts == K).all(), counts
+        kf = np.asarray(states.db.trans)[:, :K]
+        err = np.linalg.norm(kf - gt, axis=2)
+        assert err.max() < 0.25, err.max()
+
+        # vmapped pose-graph solve over the batch (the relinearization
+        # half of BASELINE config 5); no loop factors -> solution must
+        # stay at the odometry chain
+        sol = jax.jit(
+            jax.vmap(lambda g, r, t, c: solve_pose_graph(g, r, t, c, method="dense"))
+        )(states.graph, states.db.rot, states.db.trans, states.db.count)
+        srot = np.asarray(sol.rot)[:, :K]
+        strans = np.asarray(sol.trans)[:, :K]
+        assert np.isfinite(strans).all()
+        assert np.linalg.norm(strans - kf, axis=2).max() < 0.05
+        assert np.abs(srot - np.asarray(states.db.rot)[:, :K]).max() < 0.05
+
+        # the batch really is sharded across devices, not replicated
+        assert len(states.db.trans.sharding.device_set) == 8

@@ -182,6 +182,16 @@ class LoopConfig:
     sc_search_ratio: float = 0.1
     sc_dist_threshold: float = 0.4
     sc_lidar_height: float = 2.0
+    # ICP-verification cloud capacities (TPU addition, no reference
+    # analog — pcl::ICP takes whatever loopFindNearKeyframes produces).
+    # The verification ICP's per-iteration cost is src x tgt; at the old
+    # 16384 x 32768 shapes one loop_closure_step held the device ~450 ms,
+    # blowing the 100 ms scan-latency budget whenever a loop fired
+    # (BENCH_LATENCY.json spikes). 4096 x 16384 keeps verification
+    # accuracy (fitness over thousands of downsampled points) at ~1/8 the
+    # cost; raise if loops start failing the fitness gate on sparse maps.
+    icp_src_capacity: int = 4096
+    icp_tgt_capacity: int = 16384
 
 
 @dataclass(frozen=True)

@@ -342,11 +342,13 @@ def loop_closure_step(state: BackendState, cfg: RoloConfig) -> Tuple[BackendStat
 
     def try_close(prev_idx, init_yaw, robust, found):
         cur_sub = loopmod.assemble_loop_submap(
-            state.db, cur, 0, st.max_submap_points // 2, cfg.mapping.mapping_surf_leaf_size
+            state.db, cur, 0, min(lc.icp_src_capacity, st.max_submap_points // 2),
+            cfg.mapping.mapping_surf_leaf_size,
         )
         prev_sub = loopmod.assemble_loop_submap(
             state.db, prev_idx, lc.history_search_num,
-            st.max_submap_points, cfg.mapping.mapping_surf_leaf_size,
+            min(lc.icp_tgt_capacity, st.max_submap_points),
+            cfg.mapping.mapping_surf_leaf_size,
         )
         factor = loopmod.verify_loop(
             state.db, cur, prev_idx, cur_sub, prev_sub, init_yaw,

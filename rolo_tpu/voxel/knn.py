@@ -48,6 +48,7 @@ def knn_indices(
     chunk: int = 512,
     approximate: bool = False,
     recall_target: float = 0.95,
+    form: str = "matmul",
 ) -> jnp.ndarray:
     """k nearest neighbors of each query among masked points.
 
@@ -61,6 +62,20 @@ def knn_indices(
     ~4 ms per rebind; recall_target=0.95 means <=5% of neighbors may be
     replaced by the next-nearest bin candidate, which downstream line/plane
     fits (5-point least squares) absorb. Falls back to exact top-k on CPU.
+
+    form selects the distance-tile computation:
+      "matmul" (default): |q|^2 - 2 q.x + |x|^2 with a 3-pass HIGH
+        product — one small MXU matmul per tile. At lidar coordinate
+        scale its cancellation leaves ~5e-3 m^2 absolute d2 noise, far
+        below the 0.3-1 m correspondence gates of the ICP / scan-to-
+        submap consumers, and ~8x cheaper than the elementwise form on
+        large candidate sets (the loop ICP runs a [2k x 32k] k=1 kNN
+        100x per verification: elementwise there cost ~1.1 s of scan
+        latency, measured round 5).
+      "elementwise": per-coordinate difference form on the VPU —
+        cancellation-free, neighbor ordering f64-exact in practice. Use
+        when sub-cm ordering matters (covariance neighborhoods; the
+        estimate_cov6 selectors force this).
     """
     q = query.shape[0]
     n = points.shape[0]
@@ -72,21 +87,27 @@ def knn_indices(
     # every query's top-k, so zero them before they enter the matmul
     points = jnp.where(points_mask[:, None], points, 0.0)
     inf_row = jnp.where(points_mask, 0.0, jnp.inf)
+    x2 = jnp.sum(points * points, axis=1)  # [N]
 
     def one_chunk(qc):
-        # [C, N] squared distances, ELEMENTWISE (see _d2_chunk): the
-        # |q|^2 - 2 q.x + |x|^2 MXU form catastrophically cancels at
-        # lidar ranges (|x|^2 ~ 3.6e3 vs neighbor gaps ~1e-2; even the
-        # 3-pass HIGH product leaves ~5e-3 absolute d2 noise, a ~14%
-        # median error on 20-NN radii — measured round 5). The
-        # difference form subtracts nearby coordinates FIRST, so
-        # round-off is relative to the gap and ordering is f64-exact in
-        # practice; XLA fuses the three coordinate sweeps into one
-        # elementwise pass over the [C, N] tile, so it is also no slower
-        # than the matmul form (both are d2-output-bandwidth-bound).
-        d2 = _d2_chunk(qc, points)
+        if form == "elementwise":
+            d2 = _d2_chunk(qc, points)
+        else:
+            d2 = (
+                jnp.sum(qc * qc, axis=1, keepdims=True)
+                - 2.0 * jnp.dot(qc, points.T, preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGH)
+                + x2[None, :]
+            )
         d2 = d2 + inf_row[None, :]
-        if approximate:
+        if k == 1:
+            # nearest-neighbor only (the ICP correspondence path, 100x
+            # per loop/prior verification): a plain argmin row-reduce is
+            # exact and fuses with the distance-tile producer, where
+            # top_k/approx_min_k materialize the [C, N] tile in HBM —
+            # measured 713 -> ~250 ms per loop_closure_step (round 5)
+            idx = jnp.argmin(d2, axis=1)[:, None]
+        elif approximate:
             _, idx = jax.lax.approx_min_k(d2, k, recall_target=recall_target)
         else:
             _, idx = jax.lax.top_k(-d2, k)
@@ -189,7 +210,8 @@ def estimate_cov6(
     inf_row = jnp.where(cand_mask, 0.0, jnp.inf)
 
     if selector == "exact":
-        idx = knn_indices(xyz, mask, cand_xyz, cand_mask, k, chunk)
+        idx = knn_indices(xyz, mask, cand_xyz, cand_mask, k, chunk,
+                          form="elementwise")
         neigh = cand_xyz[idx]  # [N, k, 3]
         centered = neigh - jnp.mean(neigh, axis=1, keepdims=True)
         cx, cy, cz = centered[..., 0], centered[..., 1], centered[..., 2]

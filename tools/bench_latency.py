@@ -85,10 +85,29 @@ def main() -> None:
     print(f"device fetch round-trip floor: {rtt_ms:.1f} ms", file=sys.stderr)
 
     frames = list(generate_sequence(sim, scene))
+
+    # Warm pass: drive the whole sequence once with a throwaway system so
+    # every program — including the graph-solve capacity buckets that
+    # first fire mid-sequence — is compiled (persistent cache) before the
+    # measured pass. Without this, p99 reads compile events (~1-30 s),
+    # not steady-state latency; a deployment would precompile the same
+    # way (or ship the compilation cache).
+    print("warm pass (compiles all programs incl. solve buckets)...",
+          file=sys.stderr)
+    warm = SlamSystem(cfg)
+    for frame in frames:
+        out = warm.process_scan(frame.points, frame.stamp,
+                                ring=getattr(frame, "ring", None),
+                                rel_time=getattr(frame, "rel_time", None))
+    warm.finalize()
+    del warm
+
     print(f"driving {len(frames)} scans, per-scan pose fetch (latency mode)",
           file=sys.stderr)
 
     lat_all, lat_map, lat_plain = [], [], []
+    spikes = []
+    prev_solves = prev_loops = 0
     gt_pos, est_pos = [], []
     t_run0 = time.perf_counter()
     for i, frame in enumerate(frames):
@@ -110,6 +129,17 @@ def main() -> None:
         if i >= 20:  # exclude warmup/compile scans from the statistics
             lat_all.append(dt)
             (lat_map if "mapped_trans" in out else lat_plain).append(dt)
+            if dt > 0.5:
+                n_solves = len(slam.timers._samples.get("graph_solve", ()))
+                n_loops = len(slam.timers._samples.get("loop_closure", ()))
+                spikes.append({
+                    "scan": i, "ms": round(dt * 1000, 1),
+                    "mapping": "mapped_trans" in out,
+                    "solve_fired": n_solves > prev_solves,
+                    "loop_fired": n_loops > prev_loops,
+                })
+        prev_solves = len(slam.timers._samples.get("graph_solve", ()))
+        prev_loops = len(slam.timers._samples.get("loop_closure", ()))
         est_pos.append(np.asarray(out["mapped_trans"]) if "mapped_trans" in out
                        else fused)
         gt_pos.append(np.asarray(frame.gt_trans))
@@ -172,6 +202,7 @@ def main() -> None:
             s2 = mb.solve_graph_host(state, cfg, count_hint=bucket)
             jax.block_until_ready(s2.db.rot)
         bucket_ms[str(bucket)] = round((time.perf_counter() - t0) / reps * 1000, 1)
+    report["latency_spikes_over_500ms"] = spikes
     report["graph_solve_synced_ms_by_bucket"] = bucket_ms
     report["machine"] = bench_metadata()
 

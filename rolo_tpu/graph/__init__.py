@@ -7,7 +7,7 @@ from .factors import (
     FIRST_PRIOR_VARIANCES,
     ODOM_VARIANCES,
 )
-from .solver import GraphSolution, solve_pose_graph
+from .solver import GraphSolution, marginal_covariance, solve_pose_graph
 
 __all__ = [
     "BetweenFactors",
@@ -18,5 +18,6 @@ __all__ = [
     "FIRST_PRIOR_VARIANCES",
     "ODOM_VARIANCES",
     "GraphSolution",
+    "marginal_covariance",
     "solve_pose_graph",
 ]

@@ -412,3 +412,42 @@ def _solve_pose_graph_impl(
 def inv3x3_blocks6(m: jnp.ndarray) -> jnp.ndarray:
     """Batched 6x6 inverse for the block-Jacobi preconditioner."""
     return jnp.linalg.inv(m)
+
+
+@jax.jit
+def marginal_covariance(
+    graph: PoseGraph,
+    rot: jnp.ndarray,
+    trans: jnp.ndarray,
+    count: jnp.ndarray,
+    keys: jnp.ndarray,
+    damping: float = 1e-6,
+) -> jnp.ndarray:
+    """Per-pose marginal covariance blocks — the isam->marginalCovariance
+    analog (/root/reference/src/backMapping.cpp:1161; note the reference
+    computes it into `poseCovariance` and never consumes it, so this is
+    optional-parity surface, exported here for downstream consumers).
+
+    Linearizes the graph at the given poses, assembles the dense Gauss-
+    Newton information matrix H = J^T W J (same assembly as the dense
+    solver, including the first-pose anchor prior that fixes the gauge),
+    and returns H^{-1}'s [6, 6] diagonal blocks for `keys` [M] int32 —
+    computed as 6 Cholesky column solves per key, never materializing the
+    full inverse. Order per block: (rotvec, translation), the solver's
+    local tangent convention.
+    """
+    k = rot.shape[0]
+    dtype = trans.dtype
+    active = (jnp.arange(k) < count)[:, None]
+    with jax.default_matmul_precision("float32"):
+        blocks = _linearize(graph, rot, trans, count)
+        h = _dense_hessian(blocks, k, jnp.asarray(damping, dtype), active)
+        cf = jax.scipy.linalg.cho_factor(h, lower=True)
+
+        def one(key):
+            rows = key * 6 + jnp.arange(6)
+            e = jnp.zeros((k * 6, 6), dtype).at[rows, jnp.arange(6)].set(1.0)
+            x = jax.scipy.linalg.cho_solve(cf, e)  # [K*6, 6]
+            return jax.lax.dynamic_slice(x, (key * 6, 0), (6, 6))
+
+        return jax.vmap(one)(keys)

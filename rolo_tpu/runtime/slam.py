@@ -558,6 +558,20 @@ class SlamSystem:
             "valid": bool(flat[o + 11]),
         }
 
+    def keyframe_marginal_covariance(self, indices) -> np.ndarray:
+        """[M, 6, 6] marginal covariance blocks (rotvec, translation) of
+        the requested keyframes under the current pose graph — the
+        isam->marginalCovariance analog (backMapping.cpp:1161). One
+        device program + one fetch; linearizes at the current keyframe
+        poses."""
+        from ..graph import marginal_covariance
+
+        st = self.backend_state
+        return np.asarray(marginal_covariance(
+            st.graph, st.db.rot, st.db.trans, st.db.count,
+            jnp.asarray(indices, jnp.int32),
+        ))
+
     # -- egress ----------------------------------------------------------
 
     @staticmethod

@@ -308,3 +308,51 @@ class TestSolveGraphHost:
         )
         # untouched capacity tail
         assert np.allclose(np.asarray(st2.db.trans[n:]), np.asarray(st.db.trans[n:]))
+
+
+class TestMarginalCovariance:
+    """isam->marginalCovariance analog (backMapping.cpp:1161)."""
+
+    def _chain(self, k=12, n=8):
+        from rolo_tpu.graph.factors import empty_graph
+
+        rng = np.random.default_rng(0)
+        g = empty_graph(k, 4, 4)
+        rel_t = np.zeros((k, 3), np.float32)
+        rel_t[:, 0] = 1.0
+        g = g._replace(odom_rel_trans=jnp.asarray(rel_t))
+        rot = jnp.broadcast_to(jnp.eye(3), (k, 3, 3))
+        trans = jnp.asarray(
+            np.cumsum(np.vstack([np.zeros((1, 3)), rel_t[1:n]]), axis=0).astype(np.float32))
+        trans = jnp.concatenate([trans, jnp.zeros((k - n, 3))])
+        return g, rot, trans, jnp.asarray(n)
+
+    def test_matches_dense_inverse(self):
+        from rolo_tpu.graph import solver as S
+
+        g, rot, trans, count = self._chain()
+        k = rot.shape[0]
+        keys = jnp.asarray([0, 3, 7], jnp.int32)
+        got = np.asarray(S.marginal_covariance(g, rot, trans, count, keys))
+        # oracle: explicit dense inverse of the same H
+        active = (jnp.arange(k) < count)[:, None]
+        blocks = S._linearize(g, rot, trans, count)
+        h = np.asarray(S._dense_hessian(blocks, k, jnp.asarray(1e-6), active), np.float64)
+        hinv = np.linalg.inv(h)
+        for m, key in enumerate([0, 3, 7]):
+            want = hinv[key * 6:(key + 1) * 6, key * 6:(key + 1) * 6]
+            np.testing.assert_allclose(got[m], want, rtol=1e-3, atol=1e-7)
+
+    def test_uncertainty_grows_along_chain(self):
+        from rolo_tpu.graph import solver as S
+
+        g, rot, trans, count = self._chain()
+        keys = jnp.asarray([1, 4, 7], jnp.int32)
+        cov = np.asarray(S.marginal_covariance(g, rot, trans, count, keys))
+        # symmetric PSD, and odometry-only uncertainty accumulates with
+        # distance from the anchored first pose
+        tr = [np.trace(c) for c in cov]
+        for c in cov:
+            np.testing.assert_allclose(c, c.T, atol=1e-8)
+            assert np.linalg.eigvalsh(c).min() > -1e-9
+        assert tr[0] < tr[1] < tr[2]

@@ -378,3 +378,19 @@ class TestDeskew:
             pts = _synthetic_scan(np.eye(3, dtype=np.float32), np.array([0.5 * i, 0, 0], np.float32))
             out = slam.process_scan(pts, stamp=0.1 * i)
         assert np.all(np.isfinite(out["front_trans"]))
+
+
+def test_keyframe_marginal_covariance():
+    """SlamSystem surface of the marginalCovariance analog: later
+    keyframes carry more odometry-chain uncertainty than early ones."""
+    slam = SlamSystem(SLAM_CFG)
+    for i in range(6):
+        trans = np.array([1.2 * i, 0.0, 0.0], np.float32)
+        pts = _synthetic_scan(np.eye(3, dtype=np.float32), trans, seed=42)
+        slam.process_scan(pts, stamp=0.1 * i)
+    k = int(slam.backend_state.db.count)
+    assert k >= 3
+    cov = slam.keyframe_marginal_covariance([0, k - 1])
+    assert cov.shape == (2, 6, 6)
+    assert np.isfinite(cov).all()
+    assert np.trace(cov[1]) > np.trace(cov[0])

@@ -1,11 +1,14 @@
-"""Brute-force MXU k-NN + per-point covariance estimation.
+"""Brute-force dense k-NN + per-point covariance estimation.
 
 TPU-native replacement for the reference's kd-tree covariance pass
 (RotVGICP::calculate_covariances, rot_vgicp_impl.hpp:419-496). kd-trees are
-pointer-chasing and hostile to TPUs; for feature-cloud sizes (<=16k points) a
-chunked dense distance matrix rides the MXU (d^2 = |q|^2 + |x|^2 - 2 q.x is a
-matmul) and a top-k beats tree traversal by orders of magnitude while being
-exact.
+pointer-chasing and hostile to TPUs; for feature-cloud sizes (<=16k points)
+a chunked dense distance matrix beats tree traversal by orders of
+magnitude. The distance tile is computed in one of two forms per callsite
+(see knn_indices `form`): the MXU matmul form |q|^2 + |x|^2 - 2 q.x for
+large candidate sets with coarse gates (ICP, scan-to-submap binds), or the
+cancellation-free elementwise difference form where sub-cm neighbor
+ordering matters (covariance neighborhoods — the round-5 accuracy fix).
 
 Covariance regularization mirrors rot_vgicp_impl.hpp:456-492: neighborhood
 covariance (divided by k, reference line :456), then eigenvalue surgery

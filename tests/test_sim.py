@@ -317,13 +317,26 @@ class TestEndToEndSim:
         """Ground-prior factors must be ACCEPTED through the real
         SlamSystem path (VERDICT round-3: every recorded end-to-end run had
         n_prior_factors=0 — the chain silently zeroed on the ICP
-        `converged` gate and frame-inconsistent diff gates). Default
-        config, rough sim terrain, exact-GT ground map."""
+        `converged` gate and frame-inconsistent diff gates). All behavior
+        sections at shipped defaults; only the static CAPACITIES are
+        right-sized for XLA:CPU (the default 65k/32k/2048 shapes cost
+        ~1 h of compile + ~1 min/scan execution on this 2-core CI host —
+        the defaults-fidelity run is the ROLO_NIGHTLY band above, and
+        capacities do not change behavior, only padding)."""
+        import dataclasses
+
+        from rolo_tpu.config import StaticConfig
         from rolo_tpu.runtime.dataset import run_simulated
 
         sim_cfg = SimConfig(n_scans=80, n_cols=512, sensor="velodyne32",
                             period=24.0, seed=0)
-        res = run_simulated(RoloConfig(), sim_cfg, with_priors=True)
+        cfg = RoloConfig().replace(static=StaticConfig(
+            max_raw_points=32768, max_corner_points=1024, max_surf_points=4096,
+            max_feature_points=5120, max_voxels=4096, max_keyframes=128,
+            max_submap_points=8192, max_loop_factors=32, max_prior_factors=32,
+            knn_query_chunk=512,
+        ))
+        res = run_simulated(cfg, sim_cfg, with_priors=True)
         assert res.n_prior_factors > 0, res.to_json()
         # the factors must not wreck the trajectory either
         assert res.ate_keyframes is not None

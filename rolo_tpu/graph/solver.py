@@ -267,6 +267,129 @@ def _dense_hessian(blocks: FactorBlocks, k: int, damping, active: jnp.ndarray) -
     return h + jnp.diag(diag_add)
 
 
+def _chain_parts(blocks: FactorBlocks, k: int, damping, active):
+    """Split H = J^T W J into its block-tridiagonal chain part T and a
+    low-rank remainder V V^T, exploiting the factor layout contract of
+    `_linearize`: rows [0, k) are the odometry chain (factor f constrains
+    poses (f-1, f)), row k is the first-pose anchor (unary on pose 0),
+    and rows (k, F) are the loop / ground-prior between factors.
+
+    Returns (d [K,6,6] diagonal blocks incl. damping, e [K-1,6,6] with
+    T[k, k+1] = e[k], v [K, 6, R] with R = 6 * (loop+prior capacity)).
+    Invalid/inactive factors contribute exact zeros through their
+    info weights, so capacities (not live counts) set R."""
+    dtype = blocks.res.dtype
+    w = blocks.valid[:k, None, None].astype(dtype)
+    ji = blocks.jac_i[:k]
+    jj = blocks.jac_j[:k]
+    wji = ji * blocks.info_w[:k, :, None] * w
+    wjj = jj * blocks.info_w[:k, :, None] * w
+    hii = jnp.einsum("fki,fkj->fij", ji, wji)
+    hjj = jnp.einsum("fki,fkj->fij", jj, wjj)
+    hij = jnp.einsum("fki,fkj->fij", ji, wjj)
+    idx = jnp.arange(k)
+    prev = jnp.maximum(idx - 1, 0)
+    d = jnp.zeros((k, 6, 6), dtype).at[prev].add(hii).at[idx].add(hjj)
+    e = hij[1:]
+    # first-pose anchor (row k): jac_i is zeroed by construction
+    jp = blocks.jac_j[k]
+    wp = blocks.info_w[k] * blocks.valid[k].astype(dtype)
+    d = d.at[0].add(jnp.einsum("ki,kj->ij", jp, jp * wp[:, None]))
+    # same damping/identity policy as _dense_hessian
+    diag_add = jnp.where(active[:, 0], damping, 1.0)
+    d = d + diag_add[:, None, None] * jnp.eye(6, dtype=dtype)
+
+    # low-rank columns: factor f contributes ji^T W^1/2 at pose i and
+    # jj^T W^1/2 at pose j (scatter-add also handles i == j exactly)
+    f2 = blocks.i.shape[0] - (k + 1)
+    s = jnp.sqrt(blocks.info_w[k + 1:] * blocks.valid[k + 1:, None])
+    ci = jnp.swapaxes(blocks.jac_i[k + 1:], 1, 2) * s[:, None, :]
+    cj = jnp.swapaxes(blocks.jac_j[k + 1:], 1, 2) * s[:, None, :]
+    ar = jnp.arange(f2)
+    v4 = jnp.zeros((k, f2, 6, 6), dtype)
+    v4 = v4.at[blocks.i[k + 1:], ar].add(ci)
+    v4 = v4.at[blocks.j[k + 1:], ar].add(cj)
+    v = v4.transpose(0, 2, 1, 3).reshape(k, 6, f2 * 6)
+    return d, e, v
+
+
+def _bcr_solve(d: jnp.ndarray, e: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve T X = B for SPD block-tridiagonal T by block cyclic
+    reduction: eliminate all odd-indexed nodes at once, recurse on the
+    half-size even-node system — O(log K) levels of BATCHED 6x6 ops, the
+    TPU-parallel replacement for both a sparse Cholesky (sequential
+    panels) and the chain Thomas scan (K serialized 6x6 steps; measured
+    latency-bound on TPU, see the `preconditioner="chain"` note). Exact
+    up to f32 rounding — cyclic reduction is block Gaussian elimination
+    in a nested-dissection order, stable for the damped SPD systems here.
+
+    d: [K, 6, 6]; e: [K-1, 6, 6] with T[k, k+1] = e[k]; b: [K, 6, R].
+    """
+    from ..ops.linalg import cholesky_solve_unrolled_mat, inv_psd_unrolled
+
+    k_orig = d.shape[0]
+    levels = []
+    while d.shape[0] > 1:
+        k = d.shape[0]
+        if k % 2 == 1:  # append a decoupled identity node (exact no-op)
+            d = jnp.concatenate([d, jnp.eye(6, dtype=d.dtype)[None]], 0)
+            e = jnp.concatenate([e, jnp.zeros((1, 6, 6), d.dtype)], 0)
+            b = jnp.concatenate([b, jnp.zeros((1,) + b.shape[1:], b.dtype)], 0)
+            k += 1
+        e_pad = jnp.concatenate([e, jnp.zeros((1, 6, 6), d.dtype)], 0)
+        d_odd = d[1::2]
+        dinv = inv_psd_unrolled(d_odd, 6)
+        b_odd = b[1::2]
+        el = e[0::2]       # E[2j]:   couples even node 2j to odd 2j+1
+        er = e_pad[1::2]   # E[2j+1]: couples odd 2j+1 to even 2j+2 (zero-padded)
+        a_r = jnp.einsum("nij,njk->nik", el, dinv)
+        d_new = d[0::2] - jnp.einsum("nij,nkj->nik", a_r, el)
+        b_new = b[0::2] - jnp.einsum("nij,njr->nir", a_r, b_odd)
+        a_l = jnp.einsum("nji,njk->nik", er, dinv)
+        contrib_d = jnp.einsum("nij,njk->nik", a_l, er)
+        contrib_b = jnp.einsum("nij,njr->nir", a_l, b_odd)
+        d_new = d_new.at[1:].add(-contrib_d[:-1])
+        b_new = b_new.at[1:].add(-contrib_b[:-1])
+        e_new = -jnp.einsum("nij,njk->nik", a_r, er)[:-1]
+        levels.append((dinv, el, er, b_odd))
+        d, e, b = d_new, e_new, b_new
+
+    x = cholesky_solve_unrolled_mat(d[0], b[0], 6)[None]
+    for dinv, el, er, b_odd in reversed(levels):
+        # a deeper level may have padded its own size to even; its solution
+        # is one decoupled-identity node longer than this level's even count
+        x_even = x[: dinv.shape[0]]
+        t = b_odd - jnp.einsum("nji,njr->nir", el, x_even)
+        x_shift = jnp.concatenate([x_even[1:], jnp.zeros_like(x_even[:1])], 0)
+        t = t - jnp.einsum("nij,njr->nir", er, x_shift)
+        x_odd = jnp.einsum("nij,njr->nir", dinv, t)
+        x = jnp.stack([x_even, x_odd], axis=1).reshape(
+            2 * x_even.shape[0], *x_even.shape[1:]
+        )
+    return x[:k_orig]
+
+
+def _bcr_step(blocks: FactorBlocks, k: int, damping, active, g) -> jnp.ndarray:
+    """One GN direction via BCR + Woodbury: H = T + V V^T with T the
+    odometry chain (solved exactly by `_bcr_solve`) and V the loop/prior
+    factor columns; H^-1 b = T^-1 b - T^-1 V (I + V^T T^-1 V)^-1 V^T T^-1 b.
+    Replaces the [6K, 6K] dense Cholesky whose cost grows ~cubically with
+    the bucket (measured 42/66/217/815 ms at K=256/512/1024/2048 on v5e,
+    BENCH_LATENCY.json) with O(K log K) batched small ops + one dense
+    [R, R] solve, R = 6 * (loop+prior capacity)."""
+    d, e, v = _chain_parts(blocks, k, damping, active)
+    b = (-g * active)[:, :, None]
+    x = _bcr_solve(d, e, jnp.concatenate([b, v], axis=2))
+    tinv_b = x[..., 0]
+    tinv_v = x[..., 1:]
+    r = v.shape[-1]
+    s = jnp.eye(r, dtype=v.dtype) + jnp.einsum("kar,kas->rs", v, tinv_v)
+    y = jnp.einsum("kar,ka->r", v, tinv_b)
+    cf = jax.scipy.linalg.cho_factor(s, lower=True)
+    z = jax.scipy.linalg.cho_solve(cf, y)
+    return (tinv_b - jnp.einsum("kar,r->ka", tinv_v, z)) * active
+
+
 @partial(jax.jit, static_argnames=("gn_iterations", "cg_iterations", "preconditioner", "method"))
 def solve_pose_graph(
     graph: PoseGraph,
@@ -314,7 +437,10 @@ def _solve_pose_graph_impl(
     residual norm drops below cg_tol * its initial value. `final_error` is
     the chi^2 at the *returned* poses (post-update).
 
-    method: "dense" materializes H and solves by blocked Cholesky — one
+    method: "bcr" exploits the SLAM graph structure — block cyclic
+    reduction on the odometry chain + Woodbury for loop/prior factors
+    (see _bcr_step) — O(K log K) batched 6x6 work, the default for large
+    buckets. "dense" materializes H and solves by blocked Cholesky — one
     MXU-sized factorization instead of thousands of tiny sequential ops;
     on TPU this is ~100x faster than PCG for K <= 2048 (the chain
     preconditioner's three lax.scans serialize 6x6 matvecs, which is
@@ -340,6 +466,8 @@ def _solve_pose_graph_impl(
             b = (-g * active).reshape(k * 6)
             cf = jax.scipy.linalg.cho_factor(h, lower=True)
             x = jax.scipy.linalg.cho_solve(cf, b).reshape(k, 6)
+        elif method == "bcr":
+            x = _bcr_step(blocks, k, damping, active, g)
         else:
             diag = _hessian_diag_blocks(blocks, k)
             if preconditioner == "chain":

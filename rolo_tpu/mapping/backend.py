@@ -314,9 +314,15 @@ def solve_graph_host(
         odom_rel_rot=g.odom_rel_rot[:bucket],
         odom_rel_trans=g.odom_rel_trans[:bucket],
     )
+    # method="bcr": block cyclic reduction on the odometry chain +
+    # Woodbury for loop/prior factors (graph/solver.py _bcr_step). Faster
+    # than the dense [6K, 6K] Cholesky at EVERY bucket and ~2.6x at the
+    # large ones on v5e (dense 28/39/92/804 ms vs bcr 26/28/36/398 ms at
+    # K=256/512/1024/2048, tools/diag_dense_solve.py), bounding
+    # loop-correction staleness on long trajectories.
     sol = solve_pose_graph(
         g_b, state.db.rot[:bucket], state.db.trans[:bucket], state.db.count,
-        method="dense",
+        method="bcr",
     )
     return _apply_solution(state, sol.rot, sol.trans)
 

@@ -80,6 +80,43 @@ def cholesky_solve_unrolled(h: jnp.ndarray, b: jnp.ndarray, n: int) -> jnp.ndarr
     return jnp.stack(x, axis=-1)
 
 
+def cholesky_solve_unrolled_mat(h: jnp.ndarray, b: jnp.ndarray, n: int) -> jnp.ndarray:
+    """`cholesky_solve_unrolled` with a MATRIX right-hand side: solves
+    h X = B for [..., n, n] h and [..., n, m] B, unrolled over n at trace
+    time with the trailing RHS axis m kept vectorized. Same stability
+    domain (PSD systems) and fusion behavior as the vector variant."""
+    l = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = h[..., i, j]
+            for k in range(j):
+                s = s - l[i][k] * l[j][k]
+            if i == j:
+                l[i][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
+            else:
+                l[i][j] = s / l[j][j]
+    y = []
+    for i in range(n):
+        s = b[..., i, :]
+        for k in range(i):
+            s = s - l[i][k][..., None] * y[k]
+        y.append(s / l[i][i][..., None])
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - l[k][i][..., None] * x[k]
+        x[i] = s / l[i][i][..., None]
+    return jnp.stack(x, axis=-2)
+
+
+def inv_psd_unrolled(h: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Explicit inverse of [..., n, n] PSD matrices via the unrolled
+    Cholesky solve against an identity RHS (no XLA tiny-matrix LU)."""
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=h.dtype), h.shape)
+    return cholesky_solve_unrolled_mat(h, eye, n)
+
+
 def solve_psd(h: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Solve h x = b for small symmetric positive(-ish) definite h.
 

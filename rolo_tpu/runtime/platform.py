@@ -27,14 +27,42 @@ def pin_requested_platform() -> None:
         jax.config.update("jax_platforms", req)
 
 
+def _host_fingerprint() -> str:
+    """Short fingerprint of the host CPU feature set. XLA:CPU persists
+    AOT-compiled executables whose cache key does NOT include the precise
+    CPU feature flags; loading an entry produced on a host with a
+    different avx512/amx set can SIGILL/segfault (cpu_aot_loader warns
+    'could lead to execution errors such as SIGILL' — observed as a
+    deterministic segfault in compilation_cache.get_executable_and_time
+    when a cache dir was reused across machines). Scoping the cache dir
+    by this fingerprint makes cross-machine reuse impossible."""
+    import hashlib
+    import platform as _platform
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    raw = f"{_platform.machine()}|{flags}"
+    return hashlib.sha256(raw.encode()).hexdigest()[:12]
+
+
 def enable_compilation_cache(cache_dir: str = None) -> str:
     """Enable the persistent compilation cache (idempotent). Returns the
-    cache directory used."""
+    cache directory used (host-fingerprint scoped, see _host_fingerprint)."""
     import jax
 
     cache_dir = cache_dir or os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
-        os.path.join(os.path.expanduser("~"), ".cache", "rolo_tpu_jax"),
+        os.path.join(
+            os.path.expanduser("~"), ".cache",
+            f"rolo_tpu_jax_{_host_fingerprint()}",
+        ),
     )
     os.makedirs(cache_dir, exist_ok=True)
     try:

@@ -150,6 +150,12 @@ class SlamSystem:
         self.fused_valid: List[jnp.ndarray] = []
         self._mapping_steps = 0
         self._last_capacity_check = 0
+        # in-flight dropped_counts snapshot (fetch-deferred capacity check)
+        self._pending_capacity = None
+        # background-task scheduler state (see process_scan): pending
+        # cadence work + scans the queue head has been deferred
+        self._bg_queue: List[str] = []
+        self._bg_deferred = 0
         # host-side solve scheduling: True when a loop/prior/external
         # program has been dispatched since the last graph solve
         self._graph_dirty = False
@@ -303,30 +309,6 @@ class SlamSystem:
         )
         self._last_stamp = stamp
 
-        # Pose-graph solve gate, fetch-free: loop/prior/external programs
-        # are the ONLY sources of new non-odometry factors, and the host
-        # knows exactly when it dispatched one (_graph_dirty). Rather than
-        # fetching the device's solve_due flag — on a tunneled device a
-        # value fetch fences the WHOLE dispatch queue, measured ~0.5 s with
-        # the async driver running ~10 scans deep — the solve is dispatched
-        # unconditionally at `graph_solve_check_interval` cadence whenever
-        # dirty. A solve with no accepted factors is a cheap no-op (GN from
-        # a zero-residual init), and the bucket comes from the host-side
-        # mapping-step count, so the whole path stays pure async dispatch.
-        # The reference also applies loop corrections asynchronously to
-        # publication (correctPoses on the next keyframe path).
-        if (
-            self._graph_dirty
-            and self._mapping_steps >= 1
-            and stamp >= self._next_solve_check
-        ):
-            self._next_solve_check = stamp + cfg.mapping.graph_solve_check_interval
-            self._graph_dirty = False
-            with self.timers.stage("graph_solve"):
-                self.backend_state = backend.solve_graph_host(
-                    self.backend_state, cfg, count_hint=self._mapping_steps + 1
-                )
-
         prof = self.sync_stages  # device-true per-stage attribution
         with self.timers.stage("ingest"):
             scan = self._make_raw_scan(points, ring, rel_time)
@@ -401,9 +383,122 @@ class SlamSystem:
             self.mapped_quats.append(self._quat(mapped_rot))
             self._mapping_steps += 1
 
-        # loop closure at loopClosureFrequency (1 Hz default)
+        # fused pose publication (fusionTimerHandler, lidarOdometry.cpp:
+        # 137-250): one fused sample per scan, async like everything else.
+        # The reference publishes at 20 Hz wall-clock; per-scan sampling is
+        # the same rate at the 10 Hz design point scan stream given that
+        # the filter state only changes on scan arrival here.
+        fp = fusion.fused_pose(self.fusion_state, jnp.asarray(stamp), cfg.filter)
+        out["fused_rot"] = fp.rot
+        out["fused_trans"] = fp.trans
+        out["fused_valid"] = fp.valid
+        self.fused_positions.append(fp.trans)
+        self.fused_quats.append(self._quat(fp.rot))
+        self.fused_valid.append(fp.valid)
+
+        # Publication point. Everything below is background-cadence work
+        # (the reference runs it in detached threads: loopClosureThread @
+        # 1 Hz, priorThread @ 5 Hz, backMapping.cpp:2710-2712; loop
+        # corrections reach consumers asynchronously via correctPoses on a
+        # LATER keyframe path, :1287-1320). On a single in-order TPU
+        # execution queue the analog is dispatch order: the pose outputs'
+        # device->host copies are started FIRST (copy_to_host_async), so a
+        # consumer's pose fetch never queues behind a loop verification /
+        # prior cycle / graph solve — those execute in the inter-scan idle
+        # gap of a real-time stream (~90 ms at the 10 Hz design point;
+        # tools/bench_latency.py --realtime measures exactly this).
+        for _a in out.values():
+            if hasattr(_a, "copy_to_host_async"):
+                _a.copy_to_host_async()
+
+        # Background-cadence scheduling (loopClosureThread @ 1 Hz,
+        # priorThread @ 5 Hz, iSAM solve — backMapping.cpp:2710-2712).
+        # Cadence ticks only ENQUEUE work; at most ONE background program
+        # is dispatched per scan, and preferentially on scans where the
+        # mapping cadence did NOT fire — the host knows both cadences, so
+        # the expensive programs (loop verify ~80 ms, graph solve
+        # 45-815 ms by bucket) never stack on top of a backend_step on the
+        # in-order device queue. A task waits at most BG_MAX_DEFER scans
+        # (0.1 s each at the design point) before being dispatched
+        # regardless — bounded staleness, far inside the reference's own
+        # thread-scheduling jitter at 1 Hz / 5 Hz cadences.
+        #
+        # The pose-graph solve gate stays fetch-free: loop/prior/external
+        # programs are the ONLY sources of new non-odometry factors, and
+        # the host knows exactly when it dispatched one (_graph_dirty) —
+        # fetching the device's solve_due flag would fence the whole
+        # dispatch queue (~0.5 s measured with the driver ~10 scans deep).
+        # A solve with no accepted factors is a cheap no-op, and its
+        # bucket comes from the host-side mapping-step count. Corrections
+        # apply asynchronously to publication exactly like the reference
+        # (correctPoses on a later keyframe path, backMapping.cpp:1287).
         if cfg.loop.enable and stamp - self._last_loop_time >= 1.0 / cfg.loop.frequency_hz:
             self._last_loop_time = stamp
+            if "loop" not in self._bg_queue:
+                self._bg_queue.append("loop")
+        # the prior cycle is cheap on device (~1-2 ms dispatch, tens of ms
+        # synced — one compute_prior + patch-ICP program) and runs at 5 Hz;
+        # occupying a scheduler slot with it would starve the expensive
+        # tasks (loop verify ~80 ms, solve 45-815 ms) onto mapping scans.
+        # Dispatch it inline at its cadence instead.
+        if (
+            cfg.prior.enable
+            and (self.ground_map is not None or self._mapping_steps >= 1)
+            and stamp - self._last_prior_time >= 1.0 / cfg.prior.frequency_hz
+        ):
+            self._last_prior_time = stamp
+            self._dispatch_background("prior", stamp, out, prof)
+        if (
+            self._graph_dirty
+            and self._mapping_steps >= 1
+            and stamp >= self._next_solve_check
+        ):
+            self._next_solve_check = stamp + cfg.mapping.graph_solve_check_interval
+            self._graph_dirty = False
+            if "solve" not in self._bg_queue:
+                self._bg_queue.append("solve")
+
+        mapping_fired = "mapped_trans" in out
+        if self._bg_queue and (not mapping_fired or self._bg_deferred >= self.BG_MAX_DEFER):
+            self._bg_deferred = 0
+            self._dispatch_background(self._bg_queue.pop(0), stamp, out, prof)
+        elif self._bg_queue:
+            self._bg_deferred += 1
+
+        # capacity accounting at a low cadence, fetch-deferred: a blocking
+        # dropped_counts read here would wait for the background programs
+        # dispatched just above (and pay a full tunnel round trip) right on
+        # the per-scan path — every 10 mapping steps, i.e. inside the p95
+        # bin. Instead the counts array's device->host copy is STARTED now
+        # and the value is consumed at the NEXT check (~10 mapping steps
+        # later), by which point the transfer long finished; the host-side
+        # np.asarray is then a cached-copy read. Warnings/errors about
+        # exhausted capacity arrive one check-cadence late, which the
+        # escalation path tolerates (finalize() still does a fresh read).
+        if self._mapping_steps >= self._last_capacity_check + 10:
+            self._last_capacity_check = self._mapping_steps
+            pending = self._pending_capacity
+            self._pending_capacity = self.backend_state.dropped_counts
+            if hasattr(self._pending_capacity, "copy_to_host_async"):
+                self._pending_capacity.copy_to_host_async()
+            if pending is not None:
+                self._check_capacity(np.asarray(pending))
+
+        self.times.append(stamp)
+        self.front_positions.append(front_trans)
+        self.front_quats.append(self._quat(front_rot))
+        return out
+
+    # scans a queued background task may wait for a mapping-free scan
+    # before being dispatched anyway (bounded staleness)
+    BG_MAX_DEFER = 3
+
+    def _dispatch_background(self, task: str, stamp: float, out: Dict, prof: bool) -> None:
+        """Dispatch one queued background-cadence program (the reference's
+        detached-thread bodies: loopClosureThread / priorThread /
+        isam->update, backMapping.cpp:1904-1941, :2710-2712)."""
+        cfg = self.cfg
+        if task == "loop":
             with self.timers.stage("loop_closure", sync=(lambda: out["loop_closed"]) if prof else None):
                 # externally injected pairs are tried first, one per pass
                 # (performRSLoopClosure order, backMapping.cpp:2331-2336)
@@ -419,16 +514,9 @@ class SlamSystem:
                 self.backend_state, closed = backend.loop_closure_step(self.backend_state, cfg)
                 out["loop_closed"] = closed
             self._graph_dirty = True
-
-        # prior pipeline at priorFactorFrequency; ground source is the
-        # external /voxel_map when provided, else the self-built live map
-        # (only once it has content — first mapping step fills slot 0)
-        if (
-            cfg.prior.enable
-            and (self.ground_map is not None or self._mapping_steps >= 1)
-            and stamp - self._last_prior_time >= 1.0 / cfg.prior.frequency_hz
-        ):
-            self._last_prior_time = stamp
+        elif task == "prior":
+            # ground source is the external /voxel_map when provided, else
+            # the self-built live map (first mapping step fills slot 0)
             gm = (
                 self.ground_map
                 if self.ground_map is not None
@@ -440,36 +528,20 @@ class SlamSystem:
                     self.backend_state, gm, self.vehicle,
                 )
             self._graph_dirty = True
+        elif task == "solve":
+            with self.timers.stage("graph_solve"):
+                self.backend_state = backend.solve_graph_host(
+                    self.backend_state, cfg, count_hint=self._mapping_steps + 1
+                )
 
-        # fused pose publication (fusionTimerHandler, lidarOdometry.cpp:
-        # 137-250): one fused sample per scan, async like everything else.
-        # The reference publishes at 20 Hz wall-clock; per-scan sampling is
-        # the same rate at the 10 Hz design point scan stream given that
-        # the filter state only changes on scan arrival here.
-        fp = fusion.fused_pose(self.fusion_state, jnp.asarray(stamp), cfg.filter)
-        out["fused_rot"] = fp.rot
-        out["fused_trans"] = fp.trans
-        out["fused_valid"] = fp.valid
-        self.fused_positions.append(fp.trans)
-        self.fused_quats.append(self._quat(fp.rot))
-        self.fused_valid.append(fp.valid)
-
-        # capacity accounting at a low cadence (each check is one sync)
-        if self._mapping_steps >= self._last_capacity_check + 10:
-            self._last_capacity_check = self._mapping_steps
-            self._check_capacity()
-
-        self.times.append(stamp)
-        self.front_positions.append(front_trans)
-        self.front_quats.append(self._quat(front_rot))
-        return out
-
-    def _check_capacity(self) -> None:
+    def _check_capacity(self, counts: Optional[np.ndarray] = None) -> None:
         """Surface BackendState.dropped_counts on the host: warn once per
         category or raise, per StaticConfig.on_capacity. (The reference's
         containers grow without bound, backMapping.cpp:115-122; fixed
-        capacities must fail loudly instead.)"""
-        counts = np.asarray(self.backend_state.dropped_counts)
+        capacities must fail loudly instead.) `counts`: a pre-fetched
+        dropped_counts snapshot; None reads the live state (blocking)."""
+        if counts is None:
+            counts = np.asarray(self.backend_state.dropped_counts)
         for name, n in zip(_DROP_CATEGORIES, counts):
             n = int(n)
             if n <= self.drop_counts[name]:
@@ -495,6 +567,14 @@ class SlamSystem:
         check so dropped_counts are surfaced regardless of the 10-step
         check cadence. Idempotent and cheap when nothing is pending (one
         scalar fetch)."""
+        # drain background tasks still queued by the per-scan scheduler
+        # (loops detected near trajectory end matter most for final ATE)
+        while self._bg_queue:
+            self._dispatch_background(
+                self._bg_queue.pop(0),
+                self._last_stamp if self._last_stamp is not None else 0.0,
+                {}, False,
+            )
         if self._graph_dirty or bool(np.asarray(self.backend_state.pending_solve)):
             self._graph_dirty = False
             with self.timers.stage("graph_solve"):

@@ -228,8 +228,8 @@ class TestScaleVsOracle:
 
 class TestDenseMethod:
     """The dense blocked-Cholesky solve (method="dense") must agree with the
-    matrix-free PCG path — it is the production method used by
-    mapping.backend.solve_graph_host (round-3 backend speedup)."""
+    matrix-free PCG path — it is the oracle the production "bcr" method is
+    pinned against (solve_graph_host switched dense -> bcr in round 5)."""
 
     @pytest.mark.slow
     def test_dense_matches_pcg_with_loop(self):
@@ -253,6 +253,69 @@ class TestDenseMethod:
         sol = solve_pose_graph(graph, rot_est, trans_est, jnp.asarray(n),
                                gn_iterations=3, method="dense")
         assert np.allclose(np.asarray(sol.trans[n:]), np.asarray(trans_est[n:]))
+
+
+class TestBcrMethod:
+    """Block-cyclic-reduction + Woodbury solve (method="bcr", solver.py
+    _bcr_step): the structure-exploiting replacement for the [6K, 6K]
+    dense Cholesky whose cost grows ~cubically with the bucket (815 ms at
+    K=2048 on v5e). Must agree with method="dense" on the same graph."""
+
+    def test_bcr_matches_dense_with_loops_and_priors(self):
+        graph, true, rot_est, trans_est, n = build_square_trajectory()
+        rel = true[n - 1].inverse().compose(true[0])
+        graph = graph._replace(loops=add_between(
+            graph.loops, n - 1, 0, rel.rot, rel.trans,
+            jnp.full(6, 1e-4), robust_c=jnp.asarray(0.1)))
+        # a ground-prior-style between factor too (separate factor store)
+        rel2 = true[2].inverse().compose(true[5])
+        graph = graph._replace(priors=add_between(
+            graph.priors, 2, 5, rel2.rot, rel2.trans, jnp.full(6, 1e-3)))
+        sol_d = solve_pose_graph(graph, rot_est, trans_est, jnp.asarray(n),
+                                 gn_iterations=10, method="dense")
+        sol_b = solve_pose_graph(graph, rot_est, trans_est, jnp.asarray(n),
+                                 gn_iterations=10, method="bcr")
+        np.testing.assert_allclose(np.asarray(sol_b.trans[:n]),
+                                   np.asarray(sol_d.trans[:n]), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(sol_b.rot[:n]),
+                                   np.asarray(sol_d.rot[:n]), atol=1e-4)
+        assert abs(float(sol_b.final_error) - float(sol_d.final_error)) <= (
+            1e-3 * (1.0 + float(sol_d.final_error)))
+
+    def test_bcr_odd_and_masked_counts(self):
+        # odd live count inside a power-of-two capacity exercises the
+        # per-level padding path; inactive poses must stay fixed
+        graph, true, rot_est, trans_est, n = build_square_trajectory()
+        count = n - 3  # odd region
+        sol_d = solve_pose_graph(graph, rot_est, trans_est, jnp.asarray(count),
+                                 gn_iterations=5, method="dense")
+        sol_b = solve_pose_graph(graph, rot_est, trans_est, jnp.asarray(count),
+                                 gn_iterations=5, method="bcr")
+        np.testing.assert_allclose(np.asarray(sol_b.trans[:count]),
+                                   np.asarray(sol_d.trans[:count]), atol=1e-4)
+        assert np.allclose(np.asarray(sol_b.trans[count:]),
+                           np.asarray(trans_est[count:]))
+
+    def test_bcr_solve_linear_oracle(self):
+        # the tridiagonal solver alone vs a dense f64 oracle on a random
+        # SPD block-tridiagonal system (non-power-of-two K)
+        from rolo_tpu.graph.solver import _bcr_solve
+
+        rng = np.random.default_rng(7)
+        k = 37
+        a = rng.normal(size=(k, 6, 6)).astype(np.float32)
+        d = np.einsum("kij,klj->kil", a, a) + 6.0 * np.eye(6, dtype=np.float32)
+        e = 0.3 * rng.normal(size=(k - 1, 6, 6)).astype(np.float32)
+        b = rng.normal(size=(k, 6, 3)).astype(np.float32)
+        t = np.zeros((k * 6, k * 6))
+        for i in range(k):
+            t[i * 6:(i + 1) * 6, i * 6:(i + 1) * 6] = d[i]
+        for i in range(k - 1):
+            t[i * 6:(i + 1) * 6, (i + 1) * 6:(i + 2) * 6] = e[i]
+            t[(i + 1) * 6:(i + 2) * 6, i * 6:(i + 1) * 6] = e[i].T
+        want = np.linalg.solve(t, b.reshape(k * 6, 3)).reshape(k, 6, 3)
+        got = np.asarray(_bcr_solve(jnp.asarray(d), jnp.asarray(e), jnp.asarray(b)))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
 
 
 class TestSolveGraphHost:
